@@ -1,0 +1,87 @@
+"""Exactly-once + resume semantics (SURVEY.md §2.9, §5): replayed batch is a
+no-op; crash between data write and manifest commit converges on restart."""
+
+from __future__ import annotations
+
+import os
+
+from trde703_openfoodfacts_etl_spark.operators.merge import apply_batch
+from trde703_openfoodfacts_etl_spark.schema import TRANSCRIPT_SCHEMA
+from trde703_openfoodfacts_etl_spark.sources.genfeed import generate_segments
+from trde703_openfoodfacts_etl_spark.sources.lake import LakeTable
+from trde703_openfoodfacts_etl_spark.streaming.pipeline import run_incremental
+
+from helpers import assert_states_equal, duckdb_replay_oracle, lake_state_pdf, make_events
+
+
+def test_replayed_batch_id_is_noop(spark, tmp_path):
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    ev = make_events(spark, [("I", 1, "c1", 0, "user", "a", None, 100)])
+    m1 = apply_batch(lake, ev, 0)
+    sid = m1["snapshot_id"]
+    # redelivered foreachBatch epoch: same batch_id, even different content
+    ev2 = make_events(spark, [("U", 9, "c1", 0, "user", "should-not-apply", None, 900)])
+    m2 = apply_batch(lake, ev2, 0)
+    assert m2["skipped_replay"] and m2["snapshot_id"] == sid
+    assert lake_state_pdf(lake)["text"].tolist() == ["a"]
+
+
+def test_crash_before_manifest_commit_converges(spark, tmp_path):
+    """Simulate: batch applied (data files written) but the snapshot rename
+    never happened → manifest still at the parent. Restarting the stream
+    re-applies the batch; orphan data files are never referenced."""
+    wal = str(tmp_path / "wal")
+    generate_segments(wal, n_convs=50, n_events=3_000, n_segments=3, seed=11)
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    run_incremental(lake, wal, segments_per_batch=1, max_batches=2)
+
+    # crash: destroy the last commit (manifest only — data files remain)
+    last = lake.latest_id()
+    os.remove(lake._snap_path(last))
+    assert lake.latest_id() == last - 1
+
+    # restart: resumes from the manifest's high-watermark batch, re-applies
+    run_incremental(lake, wal, segments_per_batch=1)
+    oracle = duckdb_replay_oracle(f"{wal}/*.parquet")
+    assert_states_equal(lake_state_pdf(lake), oracle)
+
+
+def test_resume_mid_stream_equals_uninterrupted(spark, tmp_path):
+    wal = str(tmp_path / "wal")
+    generate_segments(wal, n_convs=50, n_events=3_000, n_segments=3, seed=13)
+
+    a = LakeTable.create(spark, str(tmp_path / "a"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    run_incremental(a, wal, segments_per_batch=1, max_batches=1)  # stop after 1
+    run_incremental(a, wal, segments_per_batch=1)  # resume
+
+    b = LakeTable.create(spark, str(tmp_path / "b"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    run_incremental(b, wal, segments_per_batch=1)  # uninterrupted
+
+    assert_states_equal(lake_state_pdf(a), lake_state_pdf(b))
+
+
+def test_manifest_lineage_and_hwm(spark, tmp_path):
+    wal = str(tmp_path / "wal")
+    generate_segments(wal, n_convs=50, n_events=3_000, n_segments=3, seed=17)
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    metrics = run_incremental(lake, wal, segments_per_batch=1)
+    snap = lake.snapshot()
+    # per-partition high-watermark LSN is monotone and covers the feed
+    hwms = [b["hwm_lsn"] for b in snap["buckets"].values()]
+    assert max(hwms) == 3000  # last lsn of the feed
+    assert snap["streams"]["default"] == 2
+    assert all(m["events_in"] > 0 for m in metrics)
+    # manifest row counts equal actual live rows
+    assert lake.total_rows() == lake.read().count()
+
+
+def test_time_travel_and_vacuum(spark, tmp_path):
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    apply_batch(lake, make_events(spark, [("I", 1, "c1", 0, "user", "v1", None, 100)]), 0)
+    sid1 = lake.latest_id()
+    apply_batch(lake, make_events(spark, [("U", 2, "c1", 0, "user", "v2", None, 200)]), 1)
+    assert lake.read(snapshot_id=sid1).select("text").first()[0] == "v1"  # time travel
+    assert lake.read().select("text").first()[0] == "v2"
+    removed = lake.vacuum(keep_snapshots=1)
+    assert removed  # old epoch files gone
+    assert lake.read().select("text").first()[0] == "v2"  # latest intact

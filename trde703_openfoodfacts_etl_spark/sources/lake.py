@@ -1,0 +1,321 @@
+"""Iceberg-semantics lake table built from scratch on public Spark APIs.
+
+The sandbox Spark has no Iceberg/Delta jars, so the engine implements the
+semantics the north rule needs itself (see SURVEY.md §7.1):
+
+- **data layout**: parquet files under ``data/epoch=<snapshot>/_bucket=<b>/``;
+  the table is hash-bucketed on ``conv_id`` (``pmod(xxhash64(conv_id), P)``)
+  so a whole conversation co-locates in one bucket → manifest-driven
+  partition pruning for merges and conversation-local queries;
+- **snapshots**: numbered JSON manifests under ``manifests/``; a commit is a
+  write-temp + atomic ``os.rename``; readers resolve ``latest = max(id)``.
+  Old snapshots stay readable (time travel) until vacuumed;
+- **copy-on-write MERGE**: a commit replaces the file list of only the
+  buckets it changed; untouched buckets keep their existing files;
+- **exactly-once**: the manifest records the last applied ``batch_id`` per
+  stream — a redelivered foreachBatch epoch is a no-op (analog of the
+  reference's double-load caveat, docs/architecture.md:184-191, fixed);
+- **schema evolution without ALTER**: the manifest carries every historical
+  schema; each file records its ``schema_id``; readers group files by
+  schema, read each group with its exact physical schema, cast to the
+  current unified schema, and ``unionByName`` — old files stay readable
+  after adds/widens (generalizes etl/bronze_to_silver.py:59-181);
+- **lineage/metrics**: per-bucket high-watermark LSN, row/byte counts, and
+  per-batch apply metrics live in the manifest (resumability evidence).
+
+Physical row = user schema + meta columns ``_deleted`` (tombstone — keeps
+LWW order-independent across delete/re-insert races), ``_lsn`` (winning WAL
+position), ``_row_hash`` (change detection for no-op skip, lift of the
+reference's md5 row_hash, etl/bronze_to_silver.py:255-263).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schema import (
+    KEY_COLS,
+    META_BUCKET,
+    META_COLS,
+    META_DELETED,
+    META_LSN,
+    META_ROW_HASH,
+    conform,
+    merge_schemas,
+    schema_from_json,
+    schema_to_json,
+)
+
+MANIFEST_DIR = "manifests"
+DATA_DIR = "data"
+
+
+def bucket_expr(num_buckets: int, col: str = "conv_id"):
+    """Stable bucket of a conversation; JVM-side, codegen'd."""
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(num_buckets)).cast("int")
+
+
+def row_hash_expr(payload_cols: list[str]):
+    """Change-detection hash over the payload (order-stable column list)."""
+    return F.xxhash64(*[F.col(c) for c in payload_cols])
+
+
+def _physical_schema(user_schema: T.StructType) -> T.StructType:
+    return T.StructType(
+        list(user_schema.fields)
+        + [
+            T.StructField(META_LSN, T.LongType(), True),
+            T.StructField(META_ROW_HASH, T.LongType(), True),
+            T.StructField(META_DELETED, T.BooleanType(), True),
+        ]
+    )
+
+
+class LakeTable:
+    def __init__(self, spark, root: str):
+        self.spark = spark
+        self.root = root
+
+    # -- creation / snapshot plumbing ------------------------------------
+
+    @classmethod
+    def create(cls, spark, root: str, schema: T.StructType, num_buckets: int = 16):
+        os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
+        os.makedirs(os.path.join(root, DATA_DIR), exist_ok=True)
+        t = cls(spark, root)
+        if t.latest_id() is None:
+            snap = {
+                "snapshot_id": 0,
+                "parent": None,
+                "num_buckets": num_buckets,
+                "schema_id": 0,
+                "schemas": {"0": schema_to_json(schema)},
+                "buckets": {},
+                "streams": {},
+                "evolution": [],
+                "metrics": {},
+                "created_unix": time.time(),
+            }
+            t._write_snapshot(snap)
+        return t
+
+    def _snap_path(self, sid: int) -> str:
+        return os.path.join(self.root, MANIFEST_DIR, f"snapshot-{sid:012d}.json")
+
+    def latest_id(self) -> int | None:
+        d = os.path.join(self.root, MANIFEST_DIR)
+        if not os.path.isdir(d):
+            return None
+        ids = [
+            int(f[len("snapshot-") : -len(".json")])
+            for f in os.listdir(d)
+            if f.startswith("snapshot-") and f.endswith(".json")
+        ]
+        return max(ids) if ids else None
+
+    def snapshot(self, sid: int | None = None) -> dict:
+        sid = self.latest_id() if sid is None else sid
+        if sid is None:
+            raise FileNotFoundError(f"no snapshots under {self.root}")
+        with open(self._snap_path(sid)) as f:
+            return json.load(f)
+
+    def _write_snapshot(self, snap: dict) -> None:
+        """Atomic commit: temp write + rename. Single-writer protocol (the
+        streaming query owns the table); readers only ever see a fully
+        written manifest."""
+        p = self._snap_path(snap["snapshot_id"])
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, p)
+
+    # -- schema ------------------------------------------------------------
+
+    def user_schema(self, snap: dict | None = None) -> T.StructType:
+        snap = snap or self.snapshot()
+        return schema_from_json(snap["schemas"][str(snap["schema_id"])])
+
+    def evolve_schema(self, snap: dict, incoming: T.StructType) -> tuple[dict, T.StructType]:
+        """Merge an incoming batch schema; returns (updated snap dict,
+        unified user schema). Mutates a copy of `snap`."""
+        current = self.user_schema(snap)
+        unified, report = merge_schemas(current, incoming)
+        if report["added"] or report["widened"]:
+            new_id = max(int(k) for k in snap["schemas"]) + 1
+            snap = dict(snap)
+            snap["schemas"] = dict(snap["schemas"])
+            snap["schemas"][str(new_id)] = schema_to_json(unified)
+            snap["schema_id"] = new_id
+            snap["evolution"] = snap["evolution"] + [
+                {"schema_id": new_id, **report}
+            ]
+        return snap, unified
+
+    # -- read path -----------------------------------------------------------
+
+    def read(
+        self,
+        snapshot_id: int | None = None,
+        buckets: list[int] | None = None,
+        include_deleted: bool = False,
+        with_meta: bool = False,
+        snap: dict | None = None,
+    ):
+        """Read table state. Groups data files by schema_id, reads each group
+        with its exact physical schema (mixed int32/int64 files never hit the
+        vectorized reader with a mismatched schema), casts to the unified
+        schema, unions by name. Bucket pruning = simply not listing files of
+        other buckets (manifest-driven partition pruning).
+
+        ``snap`` overrides the committed snapshot — the merge passes its
+        in-flight (schema-evolved, not yet committed) snapshot so current
+        rows conform to the batch's unified schema."""
+        snap = snap or self.snapshot(snapshot_id)
+        unified = self.user_schema(snap)
+        phys_unified = _physical_schema(unified)
+        groups: dict[int, list[str]] = {}
+        for b, binfo in snap["buckets"].items():
+            if buckets is not None and int(b) not in buckets:
+                continue
+            for fe in binfo["files"]:
+                groups.setdefault(fe["schema_id"], []).append(
+                    os.path.join(self.root, fe["path"])
+                )
+        df = None
+        for sid_, paths in sorted(groups.items()):
+            phys = _physical_schema(schema_from_json(snap["schemas"][str(sid_)]))
+            part = conform(self.spark.read.schema(phys).parquet(*paths), phys_unified)
+            df = part if df is None else df.unionByName(part)
+        if df is None:
+            df = self.spark.createDataFrame([], phys_unified)
+        if not include_deleted:
+            df = df.filter(~F.coalesce(F.col(META_DELETED), F.lit(False)))
+        if not with_meta:
+            df = df.drop(*META_COLS)
+        return df
+
+    # -- write path ----------------------------------------------------------
+
+    def write_bucket_files(
+        self, df, snapshot_id: int, schema_id: int, files_per_bucket: int = 1
+    ) -> dict[int, list[dict]]:
+        """Write a physical DataFrame (user cols + meta cols + _bucket) as
+        per-bucket parquet under data/epoch=<snapshot_id>/, return
+        {bucket: [file entries]} for the manifest. One shuffle, sorted within
+        each file by the natural key so downstream reads get stable
+        (conv_id, turn_idx) ordering cheaply."""
+        import pyarrow.parquet as pq
+
+        rel_epoch = os.path.join(DATA_DIR, f"epoch={snapshot_id}")
+        out = os.path.join(self.root, rel_epoch)
+        writer = df
+        if files_per_bucket > 1:
+            writer = writer.repartition(
+                files_per_bucket * 64, META_BUCKET, F.col("conv_id")
+            )
+        else:
+            writer = writer.repartition(META_BUCKET)
+        (
+            # prefixing the sort with the partition column satisfies the file
+            # writer's required ordering, so Spark skips its own re-sort and
+            # files stay key-sorted (stable (conv_id, turn_idx) reads).
+            writer.sortWithinPartitions(META_BUCKET, *KEY_COLS)
+            .write.mode("overwrite")
+            .partitionBy(META_BUCKET)
+            .parquet(out)
+        )
+        entries: dict[int, list[dict]] = {}
+        for d in os.listdir(out):
+            if not d.startswith(f"{META_BUCKET}="):
+                continue
+            b = int(d.split("=")[1])
+            for fn in os.listdir(os.path.join(out, d)):
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(out, d, fn)
+                md = pq.read_metadata(full)
+                entries.setdefault(b, []).append(
+                    {
+                        "path": os.path.join(rel_epoch, d, fn),
+                        "rows": md.num_rows,
+                        "bytes": os.path.getsize(full),
+                        "schema_id": schema_id,
+                    }
+                )
+        return entries
+
+    def commit(
+        self,
+        snap: dict,
+        replaced_buckets: dict[int, list[dict]],
+        bucket_hwm: dict[int, int],
+        bucket_rows: dict[int, int],
+        stream_id: str,
+        batch_id: int,
+        metrics: dict,
+    ) -> dict:
+        """Produce + atomically write the child snapshot: replace file lists
+        for rewritten buckets, bump per-bucket high-watermark LSN, record the
+        applied batch id (idempotence marker) and batch metrics."""
+        new = dict(snap)
+        new["parent"] = snap["snapshot_id"]
+        new["snapshot_id"] = snap["snapshot_id"] + 1
+        bks = {k: dict(v) for k, v in snap["buckets"].items()}
+        for b, files in replaced_buckets.items():
+            bks[str(b)] = {
+                "files": files,
+                "hwm_lsn": int(bucket_hwm.get(b, bks.get(str(b), {}).get("hwm_lsn", 0))),
+                "rows": int(bucket_rows.get(b, 0)),
+            }
+        for b, hwm in bucket_hwm.items():
+            if str(b) in bks and b not in replaced_buckets:
+                bks[str(b)] = dict(bks[str(b)], hwm_lsn=max(bks[str(b)]["hwm_lsn"], int(hwm)))
+        new["buckets"] = bks
+        new["streams"] = dict(snap.get("streams", {}), **{stream_id: int(batch_id)})
+        new["metrics"] = metrics
+        new["created_unix"] = time.time()
+        self._write_snapshot(new)
+        return new
+
+    def last_batch_id(self, stream_id: str, snap: dict | None = None) -> int:
+        snap = snap or self.snapshot()
+        return int(snap.get("streams", {}).get(stream_id, -1))
+
+    def total_rows(self, snap: dict | None = None) -> int:
+        snap = snap or self.snapshot()
+        return sum(b.get("rows", 0) for b in snap["buckets"].values())
+
+    def vacuum(self, keep_snapshots: int = 2) -> list[str]:
+        """Delete data files referenced only by snapshots older than the
+        newest `keep_snapshots` (and those manifests). Returns removed paths."""
+        ids = sorted(
+            int(f[len("snapshot-") : -len(".json")])
+            for f in os.listdir(os.path.join(self.root, MANIFEST_DIR))
+            if f.startswith("snapshot-")
+        )
+        keep = set(ids[-keep_snapshots:])
+        live: set[str] = set()
+        for sid in keep:
+            s = self.snapshot(sid)
+            for binfo in s["buckets"].values():
+                live.update(fe["path"] for fe in binfo["files"])
+        removed = []
+        for dirpath, _, files in os.walk(os.path.join(self.root, DATA_DIR)):
+            for fn in files:
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.root)
+                if fn.endswith(".parquet") and rel not in live:
+                    os.remove(full)
+                    removed.append(rel)
+        for sid in ids:
+            if sid not in keep:
+                os.remove(self._snap_path(sid))
+        return removed

@@ -1,0 +1,137 @@
+"""Change-feed tailing: Structured Streaming and incremental microbatch drivers.
+
+Two drivers share the same :func:`..operators.merge.apply_batch` sink:
+
+- :func:`run_stream` — idiomatic Structured Streaming: parquet file source
+  over the WAL directory, ``foreachBatch`` apply, Spark checkpoint for
+  source offsets + the lake manifest's batch-id marker for sink idempotence
+  (together: exactly-once). Requires a fixed source schema (Spark streaming
+  sources cannot change schema mid-query), so it reads with the current
+  superset schema.
+
+- :func:`run_incremental` — binlog-tail microbatcher for the general case
+  the north rule describes: segments are discovered in order, each batch's
+  Arrow schema is read from the parquet footers (no Spark job) and diffed
+  against the lake schema, so added columns / widened types arriving
+  mid-stream evolve the lake live. Resume needs no extra state: the batch id
+  is the segment sequence number and the manifest records the last one
+  applied, so a restarted run skips committed work and re-applies at most
+  the one uncommitted batch (whose data files, if any, were never
+  referenced by a manifest).
+
+This closes the reference's declared gap "Pas de mode incrémental: Full
+reload à chaque run" (docs/architecture.md:265,273) and replaces its bash
+stage sequencing (run-pipeline.sh:59-77).
+"""
+
+from __future__ import annotations
+
+import os
+
+from ..operators.merge import apply_batch
+from ..schema import arrow_schema_of_parquet, merge_schemas
+from ..sources.lake import LakeTable
+
+
+def list_segments(segments_dir: str) -> list[str]:
+    """WAL segments in commit order (lexicographic == sequence order)."""
+    out = []
+    for dirpath, _, files in os.walk(segments_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.append(os.path.join(dirpath, f))
+    return sorted(out)
+
+
+def read_batch(spark, paths: list[str]):
+    """Read one microbatch of segment files, unifying footer schemas
+    (per-batch Arrow-schema diff; v1/v2 boundary can fall inside a batch)."""
+    by_schema: dict[str, list[str]] = {}
+    schemas = {}
+    for p in paths:
+        s = arrow_schema_of_parquet(p)
+        by_schema.setdefault(s.json(), []).append(p)
+        schemas[s.json()] = s
+    unified = None
+    for s in schemas.values():
+        unified = s if unified is None else merge_schemas(unified, s)[0]
+    df = None
+    from ..schema import conform
+
+    for sj, group in by_schema.items():
+        part = conform(spark.read.schema(schemas[sj]).parquet(*group), unified)
+        df = part if df is None else df.unionByName(part)
+    return df
+
+
+def run_incremental(
+    lake: LakeTable,
+    segments_dir: str,
+    stream_id: str = "default",
+    segments_per_batch: int = 1,
+    transform=None,
+    max_batches: int | None = None,
+    files_per_bucket: int = 1,
+) -> list[dict]:
+    """Tail the WAL directory batch by batch; resumable + idempotent.
+
+    ``transform`` (optional) maps the raw batch DataFrame → enriched batch
+    (e.g. vectorized text normalization / quality columns) before the merge.
+    """
+    segs = list_segments(segments_dir)
+    batches = [
+        segs[i : i + segments_per_batch] for i in range(0, len(segs), segments_per_batch)
+    ]
+    last = lake.last_batch_id(stream_id)
+    out = []
+    for batch_id, paths in enumerate(batches):
+        if batch_id <= last:
+            continue
+        if max_batches is not None and len(out) >= max_batches:
+            break
+        df = read_batch(lake.spark, paths)
+        if transform is not None:
+            df = transform(df)
+        out.append(
+            apply_batch(
+                lake, df, batch_id, stream_id=stream_id, files_per_bucket=files_per_bucket
+            )
+        )
+    return out
+
+
+def run_stream(
+    lake: LakeTable,
+    segments_dir: str,
+    source_schema,
+    checkpoint_dir: str,
+    stream_id: str = "stream",
+    transform=None,
+    max_files_per_trigger: int = 4,
+):
+    """Structured Streaming driver: readStream → foreachBatch(merge).
+
+    Runs with the available-now trigger (drains everything currently in the
+    WAL directory, then stops) so tests and bench runs are synchronous; a
+    production deployment drops the trigger for continuous tailing.
+    """
+    spark = lake.spark
+    stream = (
+        spark.readStream.schema(source_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(segments_dir)
+    )
+    metrics: list[dict] = []
+
+    def _apply(batch_df, batch_id: int):
+        df = transform(batch_df) if transform is not None else batch_df
+        metrics.append(apply_batch(lake, df, batch_id, stream_id=stream_id))
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return metrics
