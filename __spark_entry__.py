@@ -1,38 +1,43 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``/``queries``/``oracle_sql`` delegate to the engine package:
+- flagship = the real CDC lake engine replaying the events table
+  (trde703_openfoodfacts_etl_spark/plans/flagship.py);
+- the query registry covers SURVEY.md §2 operator families with DuckDB
+  oracles (trde703_openfoodfacts_etl_spark/plans/analytics.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from trde703_openfoodfacts_etl_spark.plans import flagship  # noqa: E402
+from trde703_openfoodfacts_etl_spark.plans.analytics import REGISTRY  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: replay sf0.001 events through the CDC lake engine."""
+    return flagship.cdc_replay(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable] = {
+        "q00_cdc_replay": lambda spark, sf_dir: flagship.cdc_replay(spark, sf_dir)
+    }
+    for name, (fn, _sql) in REGISTRY.items():
+        out[name] = fn
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = {"q00_cdc_replay": flagship.SQL_CDC_REPLAY}
+    for name, (_fn, sql) in REGISTRY.items():
+        if sql is not None:
+            out[name] = sql
+    return out

@@ -1,0 +1,564 @@
+"""Query library: every operator family of SURVEY.md §2 expressed Spark-first,
+with a DuckDB-equivalent ANSI-SQL oracle per query (the driver's correctness
+gate). Re-expresses the reference's 7 analytics patterns
+(sql/queries/analytics.sql: star joins, conditional aggregation, HAVING,
+window share-of-total, IN-subquery semi join, CASE ladder, date arithmetic,
+top-k) over the driver's TPC-H-ish tables, plus CDC/LWW, sessionization,
+JSON extraction, text metrics, dedup and ANN entries.
+
+Each registry item: name -> (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql
+or None). Column names/aliases are identical on both sides; floats are
+rounded where parallel summation order could differ in the last ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+    "events", "documents", "embeddings",
+]
+
+
+def load(spark, sf_dir: str, name: str):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# A. Aggregations / sorts (reference A1-A10, O1-O3)
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-side filter pushdown + 8-agg hash aggregate
+    (reference A6/A7 conditional-sum + stats rollups)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_Q01 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q02_top_brands(spark, sf_dir):
+    """Top-k (reference O2: ORDER BY ... LIMIT; analytics.sql:19-20).
+    Spark plans TakeOrderedAndProject — no global sort materialization."""
+    return (
+        load(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"),
+             F.round(F.avg("p_retailprice"), 2).alias("avg_retail"))
+        .orderBy(F.desc("n_parts"), F.asc("p_brand"))
+        .limit(10)
+    )
+
+
+SQL_Q02 = """
+SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice), 2) AS avg_retail
+FROM part GROUP BY p_brand ORDER BY n_parts DESC, p_brand ASC LIMIT 10
+"""
+
+
+def q03_share_of_total(spark, sf_dir):
+    """Windowed share-of-total (reference W3, analytics.sql:29)."""
+    c = load(spark, sf_dir, "customer")
+    g = c.groupBy("c_mktsegment", "c_nationkey").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("c_mktsegment")
+    return g.select(
+        "c_mktsegment",
+        "c_nationkey",
+        "n",
+        F.round(F.col("n") * 100.0 / F.sum("n").over(w), 4).alias("pct_of_segment"),
+    )
+
+
+SQL_Q03 = """
+SELECT c_mktsegment, c_nationkey, count(*) AS n,
+       round(count(*) * 100.0 / sum(count(*)) OVER (PARTITION BY c_mktsegment), 4)
+           AS pct_of_segment
+FROM customer GROUP BY c_mktsegment, c_nationkey
+"""
+
+
+def q04_conditional_agg(spark, sf_dir):
+    """SUM(CASE WHEN ...) rollup (reference A6, analytics.sql:11-12)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
+        F.round(
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)) * 100.0
+            / F.count(F.lit(1)),
+            4,
+        ).alias("pct_open"),
+    )
+
+
+SQL_Q04 = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+       round(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) * 100.0 / count(*), 4)
+           AS pct_open
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q05_having(spark, sf_dir):
+    """Post-aggregation filter (reference A9 HAVING, analytics.sql:18)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+SQL_Q05 = """
+SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_spend
+FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+"""
+
+
+def q09_stats_pack(spark, sf_dir):
+    """AVG/MIN/MAX/STDDEV pack (reference A7, analytics.sql:54-57)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.min("l_quantity"), 2).alias("min_qty"),
+            F.round(F.max("l_quantity"), 2).alias("max_qty"),
+            F.round(F.stddev("l_quantity"), 4).alias("std_qty"),
+        )
+    )
+
+
+SQL_Q09 = """
+SELECT l_returnflag,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(min(l_quantity), 2) AS min_qty,
+       round(max(l_quantity), 2) AS max_qty,
+       round(stddev_samp(l_quantity), 4) AS std_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q12_distinct_agg(spark, sf_dir):
+    """COUNT(DISTINCT) (reference A4/A8, analytics.sql:164-166)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n_customers"),
+             F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+SQL_Q12 = """
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# B. Joins (reference J1-J7)
+# ---------------------------------------------------------------------------
+
+
+def q06_semi_join(spark, sf_dir):
+    """Semi join: customers with ≥1 1995 order (reference J7 IN-subquery,
+    analytics.sql:42-49,62). left_semi — never duplicates the left side."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_active_customers"))
+    )
+
+
+SQL_Q06 = """
+SELECT c_mktsegment, count(*) AS n_active_customers
+FROM customer
+WHERE c_custkey IN (
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01')
+GROUP BY c_mktsegment
+"""
+
+
+def q07_anti_join(spark, sf_dir):
+    """Anti join: customers with no orders at all, per nation (the engine's
+    idempotence primitive, SURVEY.md §2.3 note)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_inactive_customers"))
+    )
+
+
+SQL_Q07 = """
+SELECT n_name, count(*) AS n_inactive_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY n_name
+"""
+
+
+def q08_star_join(spark, sf_dir):
+    """3+-way star join with broadcast dims (reference J5,
+    analytics.sql:13-15,166-169): revenue per region/nation."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+SQL_Q08 = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q10_case_ladder(spark, sf_dir):
+    """CASE classification ladder (reference F9, analytics.sql:108-114)."""
+    o = load(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 50_000, "small")
+        .when(F.col("o_totalprice") < 150_000, "medium")
+        .when(F.col("o_totalprice") < 300_000, "large")
+        .otherwise("jumbo")
+    )
+    return (
+        o.select(band.alias("price_band"), "o_totalprice")
+        .groupBy("price_band")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+    )
+
+
+SQL_Q10 = """
+SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 150000 THEN 'medium'
+            WHEN o_totalprice < 300000 THEN 'large'
+            ELSE 'jumbo' END AS price_band,
+       count(*) AS n_orders, round(avg(o_totalprice), 2) AS avg_price
+FROM orders GROUP BY 1
+"""
+
+
+def q11_date_arith(spark, sf_dir):
+    """Date arithmetic window (reference F8: DATE_SUB(CURDATE(), INTERVAL),
+    analytics.sql:140) pinned to the dataset's max date for determinism."""
+    o = load(spark, sf_dir, "orders")
+    cutoff = F.date_sub(F.to_date(F.lit("2001-08-01")), 90).cast("timestamp")
+    return (
+        o.filter(F.col("o_orderdate") >= cutoff)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_recent"),
+             F.round(F.sum("o_totalprice"), 2).alias("recent_spend"))
+    )
+
+
+SQL_Q11 = """
+SELECT o_orderpriority, count(*) AS n_recent, round(sum(o_totalprice), 2) AS recent_spend
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '2001-08-01' - INTERVAL 90 DAY
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# C. CDC / windows / streaming analogs (reference W1-W3, §2.9)
+# ---------------------------------------------------------------------------
+
+
+def q13_lww_latest(spark, sf_dir):
+    """The engine's core CDC operator on the generic events table: LWW winner
+    per (user_id, event_type) by (ts, event_id) — max_by partial aggregation,
+    the skew-safe form of reference etl/bronze_to_silver.py:230-236."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", "event_type")
+        .agg(
+            F.round(
+                F.max_by(F.col("value"), F.struct(F.col("ts"), F.col("event_id"))), 2
+            ).alias("last_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+SQL_Q13 = """
+WITH ranked AS (
+    SELECT user_id, event_type, value,
+           row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events),
+cnt AS (SELECT user_id, event_type, count(*) AS n_events
+        FROM events GROUP BY user_id, event_type)
+SELECT r.user_id, r.event_type, round(r.value, 2) AS last_value, c.n_events
+FROM ranked r JOIN cnt c USING (user_id, event_type)
+WHERE r.rn = 1
+"""
+
+
+def q14_json_extract(spark, sf_dir):
+    """Semi-structured extraction (props JSON column) + modular bucketing."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+SQL_Q14 = """
+SELECT CAST(json_extract_string(props, 'k') AS INT) % 10 AS k_bucket,
+       count(*) AS n, round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1
+"""
+
+
+def q15_weekly_rollup(spark, sf_dir):
+    """Time-bucketed rollup (reference F4 date functions + weekly evolution,
+    analytics.sql:128-155)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("week", F.col("ts")).alias("week"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+SQL_Q15 = """
+SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def q16_sessionize(spark, sf_dir):
+    """Sessionization: 30-minute inactivity gap via lag + running sum window
+    (streaming session_window's batch equivalent)."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        e.withColumn("new_s", new_s)
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+SQL_Q16 = """
+WITH g AS (
+    SELECT user_id,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                        ORDER BY ts, event_id)) > 1800
+                THEN 1 ELSE 0 END AS new_s
+    FROM events)
+SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# D. Text / documents (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+
+def q17_text_metrics(spark, sf_dir):
+    """Token counting + punctuation ratio + exact-dup fingerprint, all
+    JVM-side expressions (functions/text.py)."""
+    from ..functions.text import fingerprint_expr, token_count_expr
+
+    d = load(spark, sf_dir, "documents")
+    n = F.length("text")
+    punct = n - F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z0-9_\s]", ""))
+    return d.select(
+        "doc_id",
+        token_count_expr(F.col("text")).cast("long").alias("n_tokens"),
+        F.round(punct.cast("double") / n.cast("double"), 4).alias("punct_ratio"),
+        fingerprint_expr(F.col("text")).alias("fingerprint"),
+    )
+
+
+SQL_Q17 = """
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9_\\s]', '', 'g')))
+             * 1.0 / length(text), 4) AS punct_ratio,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+def q18_exact_dedup(spark, sf_dir):
+    """Exact dedup via content fingerprint groupBy (hash-groupBy dedup;
+    scalable: one shuffle on the 128-bit hash, not the text)."""
+    from ..functions.text import fingerprint_expr
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(fingerprint_expr(F.col("text")).alias("fingerprint"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
+        .orderBy(F.desc("n_copies"), F.asc("fingerprint"))
+        .limit(20)
+    )
+
+
+SQL_Q18 = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       count(*) AS n_copies, min(doc_id) AS keeper_doc_id
+FROM documents GROUP BY 1 ORDER BY n_copies DESC, fingerprint ASC LIMIT 20
+"""
+
+
+def q19_lang_profile(spark, sf_dir):
+    """Per-language corpus profile (quality-report shape over documents)."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_len"),
+    )
+
+
+SQL_Q19 = """
+SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+       round(avg(length(text)), 4) AS avg_len
+FROM documents GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# E. Similarity / embeddings
+# ---------------------------------------------------------------------------
+
+
+def q20_ann_bruteforce(spark, sf_dir):
+    """Brute-force cosine top-5 for 5 probe vectors: broadcast probes ×
+    corpus, dot product via zip_with/aggregate (JVM higher-order fns, no
+    UDF), rank via window. Integer output only (float32-vs-float64 safe)."""
+    e = load(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p")
+    )
+    corpus = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("v"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    j = F.broadcast(probes).crossJoin(corpus).filter(F.col("probe_id") != F.col("neighbor_id"))
+    cos = dot(F.col("p"), F.col("v")) / (
+        F.sqrt(dot(F.col("p"), F.col("p"))) * F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        j.select("probe_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("probe_id", "rank", "neighbor_id")
+    )
+
+
+SQL_Q20 = """
+WITH p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ne FROM embeddings),
+s AS (SELECT probe_id, neighbor_id, list_cosine_similarity(pe, ne) AS cos
+      FROM p, c WHERE probe_id <> neighbor_id),
+r AS (SELECT probe_id, neighbor_id,
+             row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM s)
+SELECT probe_id, rank, neighbor_id FROM r WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple] = {
+    "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
+    "q02_top_brands": (q02_top_brands, SQL_Q02),
+    "q03_share_of_total": (q03_share_of_total, SQL_Q03),
+    "q04_conditional_agg": (q04_conditional_agg, SQL_Q04),
+    "q05_having": (q05_having, SQL_Q05),
+    "q06_semi_join": (q06_semi_join, SQL_Q06),
+    "q07_anti_join": (q07_anti_join, SQL_Q07),
+    "q08_star_join": (q08_star_join, SQL_Q08),
+    "q09_stats_pack": (q09_stats_pack, SQL_Q09),
+    "q10_case_ladder": (q10_case_ladder, SQL_Q10),
+    "q11_date_arith": (q11_date_arith, SQL_Q11),
+    "q12_distinct_agg": (q12_distinct_agg, SQL_Q12),
+    "q13_lww_latest": (q13_lww_latest, SQL_Q13),
+    "q14_json_extract": (q14_json_extract, SQL_Q14),
+    "q15_weekly_rollup": (q15_weekly_rollup, SQL_Q15),
+    "q16_sessionize": (q16_sessionize, SQL_Q16),
+    "q17_text_metrics": (q17_text_metrics, SQL_Q17),
+    "q18_exact_dedup": (q18_exact_dedup, SQL_Q18),
+    "q19_lang_profile": (q19_lang_profile, SQL_Q19),
+    "q20_ann_bruteforce": (q20_ann_bruteforce, SQL_Q20),
+}

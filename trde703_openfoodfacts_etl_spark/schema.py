@@ -88,6 +88,10 @@ _WIDEN: dict[tuple[str, str], T.DataType] = {
     ("float", "double"): T.DoubleType(),
     ("integer", "float"): T.FloatType(),
     ("date", "timestamp"): T.TimestampType(),
+    # with the session timezone pinned to UTC these are value-identical;
+    # unify on the session-TZ type
+    ("timestamp_ntz", "timestamp"): T.TimestampType(),
+    ("date", "timestamp_ntz"): T.TimestampType(),
 }
 
 
