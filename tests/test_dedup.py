@@ -1,0 +1,82 @@
+"""Dedup family: exact, n-gram Jaccard, MinHash LSH, SimHash — planted
+duplicates must be found, non-duplicates must not collide."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trde703_openfoodfacts_etl_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+    word_shingles,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the spark engine "
+    "shuffles partitions across the cluster and merges change events into the lake"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, "The  QUICK brown fox " + BASE[20:]),  # case/ws variant of 0
+        (3, BASE.replace("lazy", "sleepy")),  # near dup (1 token changed)
+        (4, "completely different content about databases and query optimizers "
+            "with columnar storage vectorized execution and cost based planning"),
+        (5, "yet another unrelated document mentioning streams watermarks "
+            "state stores and exactly once processing guarantees in flink"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(spark, docs):
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["n_copies"] == 3 and g["keeper"] == 0  # 0, 1, and the case/ws variant 2
+    assert sorted(g["members"]) == [0, 1, 2]
+
+
+def test_word_shingles_short_text(spark):
+    df = spark.createDataFrame([(1, "only two")], ["doc_id", "text"])
+    [row] = df.select(word_shingles(F.col("text"), 3).alias("s")).collect()
+    assert row["s"] == ["only two"]  # shorter than n → whole text as one shingle
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 3)] >= 0.5  # one-token edit keeps most shingles
+    assert (0, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_minhash_estimates_jaccard(spark, docs):
+    sig = minhash_signatures(docs, num_hashes=64).collect()
+    assert len(sig) == 6 and len([c for c in sig[0].asDict() if c.startswith("mh_")]) == 64
+    by_id = {r["doc_id"]: [r[f"mh_{i}"] for i in range(64)] for r in sig}
+    assert by_id[0] == by_id[1]  # identical docs → identical signatures
+    sim03 = sum(a == b for a, b in zip(by_id[0], by_id[3])) / 64
+    sim04 = sum(a == b for a, b in zip(by_id[0], by_id[4])) / 64
+    assert sim03 > 0.5 > sim04  # near-dup ≫ unrelated
+
+
+def test_minhash_lsh_pairs(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs and (0, 3) in pairs
+    assert (0, 4) not in pairs
+
+
+def test_simhash_near_dups(spark, docs):
+    res = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_dups(docs).collect()}
+    assert res[(0, 1)] == 0
+    if (0, 3) in res:
+        assert res[(0, 3)] <= 16
+    assert (0, 4) not in res or res[(0, 4)] > 10

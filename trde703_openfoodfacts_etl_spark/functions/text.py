@@ -121,14 +121,14 @@ def simhash64(texts: pd.Series) -> pd.Series:
             return 0
         votes = np.zeros(64, dtype=np.int64)
         for tok in toks:
-            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-            bits = (h >> np.arange(64)) & 1
-            votes += np.where(bits == 1, 1, -1)
-        sig = np.uint64(0)
-        for i in range(64):
-            if votes[i] > 0:
-                sig |= np.uint64(1) << np.uint64(i)
-        return int(np.int64(sig))
+            # unpackbits avoids python-int→C-long overflow on hashes ≥ 2^63
+            bits = np.unpackbits(
+                np.frombuffer(hashlib.md5(tok.encode()).digest()[:8], dtype=np.uint8),
+                bitorder="little",
+            )
+            votes += 2 * bits.astype(np.int64) - 1
+        sig = np.packbits((votes > 0).astype(np.uint8), bitorder="little").tobytes()
+        return int.from_bytes(sig, "little", signed=True)
 
     return texts.map(one)
 

@@ -1,0 +1,180 @@
+"""Deduplication family for training-data pipelines.
+
+Scalable designs only: every method reduces to hash-groupBy or
+bucket-equi-join shapes — never an O(n²) cross join — so they survive
+100 TB corpora on a real cluster. (The reference's only dedup is LWW/
+dropDuplicates, SURVEY.md §2.4 A5; these generalize to content dedup.)
+
+- exact: groupBy(md5(normalized text)) — one shuffle on a 128-bit key.
+- n-gram Jaccard: word-shingle inverted index join; candidate pairs share
+  ≥1 shingle, verified by exact Jaccard on shingle-set sizes. JVM-side
+  higher-order functions (transform/slice/array_distinct), no UDF.
+- MinHash + LSH: k hash functions over shingles (universal hashing of
+  xxhash64 shingle hashes — all columnar expressions), banded into b bands;
+  docs sharing a band bucket are candidates → verified with signature
+  similarity. One explode + two shuffles, never pairwise over the corpus.
+- SimHash: 64-bit signature (vectorized pandas UDF, functions/text.py),
+  near-dups = equal 16-bit chunk (Hamming ≤ 3 in expectation) → band join.
+- embedding cosine near-dup: random-hyperplane LSH buckets (see
+  operators/similarity.py) + in-bucket verification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint_expr, simhash64
+
+
+def exact_duplicates(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Groups of byte-identical (modulo case/whitespace) documents."""
+    return (
+        df.groupBy(fingerprint_expr(F.col(text_col)).alias("fingerprint"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("keeper"),
+            F.collect_list(id_col).alias("members"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def word_shingles(col, n: int = 3):
+    """Distinct word n-grams as an array column — pure higher-order fns:
+    split → transform over index range → array_distinct. Codegen'd."""
+    toks = F.split(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "), " ")
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    gram = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))  # noqa: E731
+    return F.when(cnt < n, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.array_distinct(F.transform(idx, gram))
+    )
+
+
+def ngram_jaccard_pairs(df, text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, threshold: float = 0.8):
+    """All pairs with word-n-gram Jaccard ≥ threshold.
+
+    Inverted-index shape: explode shingles → self-join on shingle →
+    count common shingles per pair → |A∩B| / (|A|+|B|-|A∩B|). The join key
+    is a single shingle hash (long), so the shuffle carries ids+hashes only.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), n).alias("_sh"),
+    ).withColumn("_size", F.size("_sh"))
+    ex = sh.select("_id", "_size", F.explode("_sh").alias("_g")).withColumn(
+        "_gh", F.xxhash64("_g")
+    ).drop("_g")
+    a = ex.select(F.col("_id").alias("id_a"), F.col("_size").alias("size_a"), "_gh")
+    b = ex.select(F.col("_id").alias("id_b"), F.col("_size").alias("size_b"), "_gh")
+    common = (
+        a.join(b, "_gh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+    return (
+        common.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(df, text_col: str = "text", id_col: str = "doc_id",
+                       num_hashes: int = 64, shingle_n: int = 3):
+    """MinHash signature per document, fully columnar.
+
+    h_i(s) = (a_i * h31(s) + b_i) mod p over each shingle, with
+    h31 = xxhash64 reduced into a 31-bit prime field so a_i*h31+b_i stays
+    inside 64-bit integer math (no decimal/overflow). The signature is the
+    per-document min of each h_i: one explode + one groupBy(min × k) —
+    partial aggregation makes it skew-proof, and a_i/b_i are plan literals
+    (no driver loop at runtime)."""
+    P = 2147483647  # 2^31 - 1 (Mersenne prime field)
+    # deterministic hash-family parameters (seeded linear congruential walk)
+    params = []
+    a, b = 0x9E3779B9, 0x7F4A7C15
+    for i in range(num_hashes):
+        a = (a * 1103515245 + 12345) % P
+        b = (b * 1103515245 + 12345) % P
+        params.append((a or 1, b))
+    ex = (
+        df.select(F.col(id_col).alias("_id"), word_shingles(F.col(text_col), shingle_n).alias("_sh"))
+        .select("_id", F.explode("_sh").alias("_g"))
+        .select("_id", F.pmod(F.xxhash64("_g"), F.lit(P)).alias("_h"))
+    )
+    mins = [
+        F.min(F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(P))).cast("long").alias(f"mh_{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return ex.groupBy("_id").agg(*mins).withColumnRenamed("_id", id_col)
+
+
+def minhash_lsh_pairs(df, text_col: str = "text", id_col: str = "doc_id",
+                      num_hashes: int = 64, bands: int = 16,
+                      threshold: float = 0.5, shingle_n: int = 3):
+    """Near-duplicate pairs via banded MinHash LSH.
+
+    bands × rows (rows = num_hashes/bands); docs agreeing on all rows of any
+    band collide → candidates (shuffle on band-bucket hash); candidates are
+    verified by estimated Jaccard = fraction of matching signature
+    components. Tune bands/rows for the target threshold s ≈ (1/b)^(1/r)."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band_cols = [
+        F.xxhash64(F.lit(bi), *[F.col(f"mh_{bi * rows + r}") for r in range(rows)]).alias(
+            f"band_{bi}"
+        )
+        for bi in range(bands)
+    ]
+    banded = sig.select(id_col, *[F.col(f"mh_{i}") for i in range(num_hashes)], *band_cols)
+    buckets = banded.select(
+        id_col,
+        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("_sig"),
+        F.explode(F.array(*[F.col(f"band_{bi}") for bi in range(bands)])).alias("_bucket"),
+    )
+    a = buckets.select(F.col(id_col).alias("id_a"), F.col("_sig").alias("sig_a"), "_bucket")
+    b = buckets.select(F.col(id_col).alias("id_b"), F.col("_sig").alias("sig_b"), "_bucket")
+    cand = (
+        a.join(b, "_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])  # same pair may collide in many bands
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+        / F.lit(float(num_hashes))
+    )
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash_near_dups(df, text_col: str = "text", id_col: str = "doc_id",
+                      chunks: int = 4):
+    """SimHash near-dup candidates: equal 16-bit chunk of the 64-bit
+    signature (pigeonhole: Hamming ≤ chunks-1 guarantees ≥1 equal chunk).
+    Returns candidate pairs with exact Hamming distance."""
+    sig = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sig"))
+    width = 64 // chunks
+    chunk_cols = [
+        F.concat(
+            F.lit(f"{c}:"),
+            (F.shiftrightunsigned(F.col("_sig"), c * width) % F.lit(1 << width)).cast("string"),
+        ).alias(f"ck_{c}")
+        for c in range(chunks)
+    ]
+    ex = sig.select("_id", "_sig", F.explode(F.array(*chunk_cols)).alias("_bucket"))
+    a = ex.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"), "_bucket")
+    b = ex.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"), "_bucket")
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(b, "_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -3,40 +3,51 @@
 The Spark-first lift of the reference's LWW dedup
 (etl/bronze_to_silver.py:230-236: ``row_number() OVER (PARTITION BY code
 ORDER BY desc(coalesce(last_modified_t,0)))`` keep rn=1), extended from
-in-batch dedup to a full cross-batch CDC apply:
+in-batch dedup to a full cross-batch CDC apply.
 
-- **in-batch LWW** uses ``max_by(struct(payload), struct(ts, lsn))`` under a
-  ``groupBy`` rather than a window: Catalyst plans it as a hash aggregate
-  with a map-side partial phase, so a hot key (one conversation turn updated
-  millions of times) is reduced on every input partition *before* the
-  shuffle — the skew-safe equivalent of manual salting, with AQE handling
-  residual imbalance. A window would shuffle+sort every event of the hot key
-  into a single task.
-- **cross-batch merge** unions the winners with the current state of only
-  the touched buckets (manifest-pruned read) and re-runs the same LWW
-  aggregate — one shuffle, no join, and change detection rides the same
-  aggregate (max over current-side hash/tombstone flags), so the whole merge
-  is a single exchange.
-- **delete semantics**: a winning ``op='D'`` becomes a tombstone
-  (``_deleted=true``). Tombstones keep the merge order-independent: a late
-  event with a smaller ``(ts, lsn)`` can never resurrect a deleted key, and
-  delete + re-insert replays correctly under any batch arrangement.
-- **no-op skip**: a row hash (lift of the reference's md5 change hash,
-  etl/bronze_to_silver.py:255-263) detects redelivered/unchanged winners;
-  buckets where nothing changed are not rewritten — their files carry
-  forward in the manifest (copy-on-write at bucket granularity).
-- **exactly-once**: the commit records ``batch_id``; a replayed foreachBatch
-  epoch (``batch_id <= last committed``) returns without touching data.
-- **schema evolution**: the batch schema is diffed against the lake schema
-  before the merge; added columns and widened types evolve the manifest
-  schema, and both the batch and the current state are conformed to the
-  unified schema (typed-null fill / upcast) before the union.
+Execution design (what survives 100 TB):
+
+1. **LWW as partial aggregation.** ``max_by(struct(payload), struct(ts,
+   lsn))`` under ``groupBy`` — Catalyst plans a hash aggregate with a
+   map-side partial phase, so a hot key (one turn updated millions of times)
+   is reduced on every input partition *before* the shuffle: skew-safe
+   without manual salting, AQE mops up residual imbalance. A window
+   (`row_number`) would sort every event of the hot key into one task.
+
+2. **Skinny change detection.** Deciding *what changed* never moves the
+   payload: a hash-only projection of the batch (key, bucket, order-key,
+   row-hash) is merged against a hash-only read of the current state
+   (parquet column pruning — the text column is not read). One shuffle of
+   ~40 bytes/key instead of the full row. Output: per-bucket changed-row
+   counts, live-row counts, and high-watermark LSNs, in one collect.
+
+3. **Copy-on-write restricted to changed buckets.** Only buckets with real
+   changes are rewritten (redelivered/no-op batches rewrite nothing — the
+   reference's md5 row-hash idea, etl/bronze_to_silver.py:255-263, promoted
+   to a no-op skip). The full-payload merge + write materializes exactly
+   once; no DataFrame caches (a columnar cache build of wide rows costs
+   more than one recompute of a skinny aggregate).
+
+4. **Tombstones.** A winning ``op='D'`` persists as ``_deleted=true``, so a
+   late event with a smaller ``(ts, lsn)`` can never resurrect a deleted
+   key and delete + re-insert replays correctly under any batch arrangement
+   (order-independence = exactly-once under at-least-once delivery).
+
+5. **Exactly-once.** The manifest commit records ``batch_id`` per stream; a
+   replayed foreachBatch epoch returns without touching data. Gate metrics
+   ride ``observe()`` on the first action — zero extra passes (the
+   reference re-scans the full lineage per count, SURVEY.md §2.4 A1).
+
+6. **Schema evolution.** The batch schema diffs against the lake schema
+   before the merge; adds/widens evolve the manifest schema and both sides
+   conform to the unified schema (typed-null fill / upcast) before union.
 """
 
 from __future__ import annotations
 
 import time
 
+from pyspark.sql import Observation
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -65,25 +76,20 @@ def _order_struct(ts_col, lsn_col):
 def lww_winners(env_df, payload_cols: list[str]):
     """One surviving event per (conv_id, turn_idx): greatest (ts, lsn).
 
-    Partial-aggregate formulation (module docstring). Exact duplicate
+    Partial-aggregate formulation (module docstring #1). Exact duplicate
     redeliveries (same lsn) are absorbed: identical order key + payload →
-    identical winner either way. Also folds per-key event counts and the
-    batch max lsn so downstream metrics need no extra pass.
+    identical winner either way.
     """
     nonkey = [c for c in payload_cols if c not in KEY_COLS]
     carried = F.struct(*[F.col(c) for c in nonkey], F.col("op"), F.col("lsn"))
     agg = env_df.groupBy(*KEY_COLS).agg(
         F.max_by(carried, _order_struct(F.col("ts"), F.col("lsn"))).alias("_w"),
-        F.count(F.lit(1)).alias("_n_events"),
-        F.max("lsn").alias("_batch_max_lsn"),
     )
     return agg.select(
         *KEY_COLS,
         *[F.col(f"_w.{c}").alias(c) for c in nonkey],
         F.col("_w.op").alias("op"),
         F.col("_w.lsn").alias(META_LSN),
-        "_n_events",
-        "_batch_max_lsn",
     )
 
 
@@ -100,6 +106,7 @@ def apply_batch(
     batch metrics dict that also lands in the manifest.
     """
     t0 = time.time()
+    _t = {"start": t0}
     snap = lake.snapshot()
 
     # ---- exactly-once guard --------------------------------------------------
@@ -116,7 +123,6 @@ def apply_batch(
     )
     snap, unified = lake.evolve_schema(snap, incoming_user)
     payload_cols = [f.name for f in unified.fields]
-    nonkey = [c for c in payload_cols if c not in KEY_COLS]
     num_buckets = snap["num_buckets"]
 
     # ---- quality gate (reference P3: null/empty/sentinel key filter) ---------
@@ -126,45 +132,41 @@ def apply_batch(
         & F.col("turn_idx").isNotNull()
         & F.col("op").isin("I", "U", "D")
     )
-    pre = batch_df.select(
+    obs = Observation()
+    batch_df = batch_df.observe(
+        obs,
         F.count(F.lit(1)).alias("n_raw"),
         F.sum(F.when(gate, 0).otherwise(1)).alias("n_gated_out"),
-    ).first()
-
-    # envelope + payload conformed to the unified schema, one declarative select
+    )
     have = set(batch_df.columns)
     env = batch_df.filter(gate).select(
         F.col("op"),
         F.col("lsn").cast("long").alias("lsn"),
-        F.col("event_ts"),
         *[
-            (F.col(f.name).cast(f.dataType) if f.name in have else F.lit(None).cast(f.dataType)).alias(f.name)
+            (
+                F.col(f.name).cast(f.dataType)
+                if f.name in have
+                else F.lit(None).cast(f.dataType)
+            ).alias(f.name)
             for f in unified.fields
         ],
     )
 
-    # ---- in-batch LWW ----------------------------------------------------------
-    winners = (
-        lww_winners(env, payload_cols)
-        .withColumn(META_DELETED, F.col("op") == "D")
-        .withColumn(
-            META_ROW_HASH,
-            F.when(F.col("op") == "D", F.lit(None).cast("long")).otherwise(
-                row_hash_expr(payload_cols)
-            ),
-        )
-        .withColumn(META_BUCKET, bucket_expr(num_buckets))
-        .drop("op")
-        .persist()
+    _t["plan"] = time.time()
+    # ---- action 1: touched buckets (narrow scan — conv_id column only) -------
+    touched = sorted(
+        r[0]
+        for r in env.select(bucket_expr(num_buckets).alias(META_BUCKET))
+        .distinct()
+        .collect()
     )
-
-    touched = sorted(r[0] for r in winners.select(META_BUCKET).distinct().collect())
+    pre = obs.get
+    _t["a1_touched"] = time.time()
     if not touched:
         new_snap = lake.commit(
             snap, {}, {}, {}, stream_id, batch_id,
             {"batch_id": batch_id, "events_in": int(pre["n_raw"]), "empty_batch": True},
         )
-        winners.unpersist()
         return {
             "batch_id": batch_id,
             "events_in": int(pre["n_raw"]),
@@ -172,77 +174,127 @@ def apply_batch(
             "buckets_rewritten": 0,
         }
 
-    # ---- cross-batch merge over touched buckets only (manifest pruning) -------
-    state_cols = [*KEY_COLS, *nonkey, META_LSN, META_DELETED, META_ROW_HASH]
-    batch_side = winners.select(
-        *state_cols, "_n_events", F.lit("new").alias("_src")
-    )
-    current_side = (
-        lake.read(buckets=list(touched), include_deleted=True, with_meta=True, snap=snap)
-        .select(*state_cols)
-        .withColumn("_n_events", F.lit(0).cast("long"))
-        .withColumn("_src", F.lit("cur"))
-    )
-
-    carried = F.struct(*[F.col(c) for c in state_cols if c not in KEY_COLS])
-    merged = (
-        batch_side.unionByName(current_side)
-        .groupBy(*KEY_COLS)
+    # ---- action 2: skinny change detection (hash-only, no payload moves) -----
+    order = _order_struct(F.col("ts"), F.col("lsn"))
+    sk_batch = (
+        env.groupBy(*KEY_COLS)
         .agg(
-            F.max_by(carried, _order_struct(F.col("ts"), F.col(META_LSN))).alias("_w"),
-            F.max(F.when(F.col("_src") == "cur", F.col(META_ROW_HASH))).alias("_cur_hash"),
-            F.max(
-                F.when(F.col("_src") == "cur", F.col(META_DELETED).cast("int"))
-            ).alias("_cur_del"),
-            F.max((F.col("_src") == "cur").cast("int")).alias("_cur_exists"),
-            F.sum("_n_events").alias("_n_events"),
+            F.max_by(
+                F.struct(
+                    F.when(F.col("op") == "D", F.lit(None).cast("long"))
+                    .otherwise(row_hash_expr(payload_cols))
+                    .alias("h"),
+                    (F.col("op") == "D").alias("d"),
+                ),
+                order,
+            ).alias("_w"),
+            F.max_by(F.coalesce(F.col("ts"), F.expr(_TS_FLOOR)), order).alias("_ts"),
+            F.max_by(F.col("lsn"), order).alias("_lsn_w"),
+            F.count(F.lit(1)).alias("_n_events"),
+            F.max("lsn").alias("_max_lsn"),
         )
         .select(
             *KEY_COLS,
-            *[F.col(f"_w.{c}").alias(c) for c in state_cols if c not in KEY_COLS],
-            "_cur_hash",
-            "_cur_del",
-            "_cur_exists",
+            F.col("_w.h").alias("_h"),
+            F.col("_w.d").alias("_d"),
+            "_ts",
+            "_lsn_w",
             "_n_events",
+            "_max_lsn",
+            F.lit("new").alias("_src"),
         )
-        .withColumn(META_BUCKET, bucket_expr(num_buckets))
-        .withColumn(
-            "_changed",
-            (F.col("_cur_exists") == 0)
-            | ~F.col(META_ROW_HASH).eqNullSafe(F.col("_cur_hash"))
-            | (F.col(META_DELETED).cast("int") != F.coalesce(F.col("_cur_del"), F.lit(0))),
-        )
-        .persist()
     )
-
-    chg = (
-        merged.groupBy(META_BUCKET)
+    sk_cur = (
+        lake.read(buckets=list(touched), include_deleted=True, with_meta=True, snap=snap)
+        .select(
+            *KEY_COLS,
+            F.col(META_ROW_HASH).alias("_h"),
+            F.col(META_DELETED).alias("_d"),
+            F.coalesce(F.col("ts"), F.expr(_TS_FLOOR)).alias("_ts"),
+            F.col(META_LSN).alias("_lsn_w"),
+            F.lit(0).cast("long").alias("_n_events"),
+            F.lit(None).cast("long").alias("_max_lsn"),
+            F.lit("cur").alias("_src"),
+        )
+    )
+    sk = (
+        sk_batch.unionByName(sk_cur)
+        .groupBy(*KEY_COLS)
+        .agg(
+            F.max_by(
+                F.struct(F.col("_h").alias("h"), F.col("_d").alias("d")),
+                F.struct(F.col("_ts"), F.col("_lsn_w")),
+            ).alias("_w"),
+            F.max(F.when(F.col("_src") == "cur", F.col("_h"))).alias("_cur_h"),
+            F.max(F.when(F.col("_src") == "cur", F.col("_d").cast("int"))).alias("_cur_d"),
+            F.max((F.col("_src") == "cur").cast("int")).alias("_cur_exists"),
+            F.sum("_n_events").alias("_n_events"),
+            F.max("_max_lsn").alias("_max_lsn"),
+        )
+        .select(
+            bucket_expr(num_buckets).alias(META_BUCKET),
+            (
+                (F.col("_cur_exists") == 0)
+                | ~F.col("_w.h").eqNullSafe(F.col("_cur_h"))
+                | (F.col("_w.d").cast("int") != F.coalesce(F.col("_cur_d"), F.lit(0)))
+            ).alias("_changed"),
+            F.col("_w.d").alias("_del"),
+            "_n_events",
+            "_max_lsn",
+        )
+        .groupBy(META_BUCKET)
         .agg(
             F.sum(F.col("_changed").cast("int")).alias("n_changed"),
-            F.sum(F.when(~F.col(META_DELETED), 1).otherwise(0)).alias("live_rows"),
-            F.sum(F.when(F.col(META_DELETED), 1).otherwise(0)).alias("tombstones"),
+            F.sum(F.when(~F.col("_del"), 1).otherwise(0)).alias("live_rows"),
             F.sum("_n_events").alias("n_events"),
+            F.max("_max_lsn").alias("hwm"),
         )
         .collect()
     )
-    changed_buckets = sorted(int(r[META_BUCKET]) for r in chg if r["n_changed"] > 0)
-    bucket_rows = {int(r[META_BUCKET]): int(r["live_rows"]) for r in chg}
-    bucket_hwm = {
-        int(r[META_BUCKET]): int(r["h"])
-        for r in winners.groupBy(META_BUCKET).agg(F.max("_batch_max_lsn").alias("h")).collect()
-    }
+    _t["a2_skinny"] = time.time()
+    changed_buckets = sorted(int(r[META_BUCKET]) for r in sk if r["n_changed"] > 0)
+    bucket_rows = {int(r[META_BUCKET]): int(r["live_rows"]) for r in sk}
+    bucket_hwm = {int(r[META_BUCKET]): int(r["hwm"]) for r in sk if r["hwm"] is not None}
 
-    # ---- copy-on-write: rewrite only buckets with actual changes ---------------
+    # ---- action 3: full-payload merge + write, changed buckets only ----------
     replaced: dict[int, list[dict]] = {}
     rows_written = 0
     if changed_buckets:
-        to_write = merged.filter(F.col(META_BUCKET).isin(changed_buckets)).select(
-            *payload_cols, META_LSN, META_ROW_HASH, META_DELETED, META_BUCKET
+        in_changed = bucket_expr(num_buckets).isin([int(b) for b in changed_buckets])
+        winners = lww_winners(env.filter(in_changed), payload_cols)
+        nonkey = [c for c in payload_cols if c not in KEY_COLS]
+        batch_side = (
+            winners.withColumn(META_DELETED, F.col("op") == "D")
+            .withColumn(
+                META_ROW_HASH,
+                F.when(F.col("op") == "D", F.lit(None).cast("long")).otherwise(
+                    row_hash_expr(payload_cols)
+                ),
+            )
+            .drop("op")
+        )
+        current_side = lake.read(
+            buckets=list(changed_buckets), include_deleted=True, with_meta=True, snap=snap
+        ).select(*batch_side.columns)
+        state_nonkey = [*nonkey, META_LSN, META_DELETED, META_ROW_HASH]
+        carried = F.struct(*[F.col(c) for c in state_nonkey])
+        merged = (
+            batch_side.unionByName(current_side)
+            .groupBy(*KEY_COLS)
+            .agg(
+                F.max_by(carried, _order_struct(F.col("ts"), F.col(META_LSN))).alias("_w")
+            )
+            .select(
+                *KEY_COLS,
+                *[F.col(f"_w.{c}").alias(c) for c in state_nonkey],
+            )
+            .withColumn(META_BUCKET, bucket_expr(num_buckets))
         )
         replaced = lake.write_bucket_files(
-            to_write, snap["snapshot_id"] + 1, snap["schema_id"], files_per_bucket
+            merged, snap["snapshot_id"] + 1, snap["schema_id"], files_per_bucket
         )
         rows_written = sum(fe["rows"] for fs in replaced.values() for fe in fs)
+    _t["a3_write"] = time.time()
 
     metrics = {
         "batch_id": batch_id,
@@ -251,7 +303,7 @@ def apply_batch(
         "buckets_touched": len(touched),
         "buckets_rewritten": len(changed_buckets),
         "rows_written": int(rows_written),
-        "per_bucket_events": {int(r[META_BUCKET]): int(r["n_events"]) for r in chg},
+        "per_bucket_events": {int(r[META_BUCKET]): int(r["n_events"]) for r in sk},
         "wall_sec": round(time.time() - t0, 3),
     }
     metrics["events_per_sec"] = (
@@ -268,7 +320,10 @@ def apply_batch(
         batch_id,
         metrics,
     )
-    winners.unpersist()
-    merged.unpersist()
+    _t["commit"] = time.time()
+    ks = list(_t)
+    metrics["phase_sec"] = {
+        ks[i]: round(_t[ks[i]] - _t[ks[i - 1]], 3) for i in range(1, len(ks))
+    }
     metrics["snapshot_id"] = new_snap["snapshot_id"]
     return metrics

@@ -220,10 +220,15 @@ def generate_segments_spark(
         )
         .withColumn(
             "text",
-            F.when(
-                F.col("op") == "D", F.lit(None)
-            ).otherwise(
-                F.concat(F.lit("turn text é "), F.sha2(F.col("id").cast("string"), 256))
+            # ~300-char payload (realistic turn text size): deterministic,
+            # incompressible-ish, accented (exercises normalization)
+            F.when(F.col("op") == "D", F.lit(None)).otherwise(
+                F.concat(
+                    F.lit("turn text é "),
+                    F.sha2(F.col("id").cast("string"), 512),
+                    F.lit(" "),
+                    F.sha2((F.col("id") * 7919).cast("string"), 512),
+                )
             ),
         )
         .withColumn("segment", (F.col("id") * n_segments / n_events).cast("int"))

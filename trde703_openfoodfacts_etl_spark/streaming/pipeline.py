@@ -43,15 +43,34 @@ def list_segments(segments_dir: str) -> list[str]:
     return sorted(out)
 
 
+_FOOTER_CACHE: dict[str, str] = {}
+
+
 def read_batch(spark, paths: list[str]):
     """Read one microbatch of segment files, unifying footer schemas
-    (per-batch Arrow-schema diff; v1/v2 boundary can fall inside a batch)."""
+    (per-batch Arrow-schema diff; v1/v2 boundary can fall inside a batch).
+
+    Footer reads are driver-side and serial, so Spark-written segment
+    directories (``part-*`` files — one writer, one schema per directory)
+    are cached: one footer read covers the directory. Individually named
+    segment files (schema may differ file-to-file) are always read."""
     by_schema: dict[str, list[str]] = {}
     schemas = {}
     for p in paths:
-        s = arrow_schema_of_parquet(p)
-        by_schema.setdefault(s.json(), []).append(p)
-        schemas[s.json()] = s
+        cacheable = os.path.basename(p).startswith("part-")
+        key = os.path.dirname(p) if cacheable else p
+        sj = _FOOTER_CACHE.get(key)
+        if sj is None:
+            s = arrow_schema_of_parquet(p)
+            sj = s.json()
+            if cacheable:
+                _FOOTER_CACHE[key] = sj
+            schemas[sj] = s
+        elif sj not in schemas:
+            from ..schema import schema_from_json
+
+            schemas[sj] = schema_from_json(sj)
+        by_schema.setdefault(sj, []).append(p)
     unified = None
     for s in schemas.values():
         unified = s if unified is None else merge_schemas(unified, s)[0]
