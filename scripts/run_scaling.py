@@ -55,20 +55,29 @@ def gen_input(events: int) -> str:
     return wal
 
 
-def submit(cores: int, wal: str, zpath: str, tag: str) -> dict:
+def submit(cores: int, wal: str, zpath: str, tag: str, normalize: bool = True,
+           pin_cpus: bool = False) -> dict:
     lake = os.path.join(SCRATCH, f"lake_{tag}")
     shutil.rmtree(lake, ignore_errors=True)
     out = os.path.join(SCRATCH, f"result_{tag}.json")
-    cmd = [
+    cmd = []
+    if pin_cpus:
+        # Pin the whole JVM (executor threads + GC + shuffle/IO threads +
+        # python workers) to exactly `cores` CPUs — the faithful sandbox
+        # emulation of a cgroup-limited executor container on YARN/K8s.
+        # Bare local[N] only caps *task* threads; GC and IO threads spill
+        # onto extra cores and distort the N-vs-4N comparison.
+        cmd += ["taskset", "-c", f"0-{cores - 1}"]
+    cmd += [
         "spark-submit",
         "--master", f"local[{cores}]",
-        "--driver-memory", "24g",
+        "--driver-memory", "40g",
         "--py-files", zpath,
         os.path.join(REPO, "scripts", "cdc_replay_job.py"),
         "--wal", wal, "--lake", lake, "--buckets", "32",
         "--batches", "2", "--shuffle-partitions", str(max(cores, 8)),
-        "--out", out,
-    ]
+        "--warmup", "--out", out,
+    ] + (["--normalize"] if normalize else [])
     subprocess.run(cmd, check=True, capture_output=True, text=True)
     with open(out) as f:
         return json.load(f)
@@ -78,23 +87,39 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=5_000_000)
     ap.add_argument("--n", type=int, default=8, help="N; runs local[N] and local[4N]")
+    ap.add_argument("--no-normalize", action="store_true")
+    ap.add_argument("--pin-cpus", action="store_true",
+                    help="taskset the JVM to exactly N / 4N CPUs (container-"
+                         "style resource budget)")
     args = ap.parse_args()
 
     zpath = build_zip()
     wal = gen_input(args.events)
-    lo = submit(args.n, wal, zpath, f"n{args.n}")
-    hi = submit(args.n * 4, wal, zpath, f"n{args.n * 4}")
+    norm = not args.no_normalize
+    lo = submit(args.n, wal, zpath, f"n{args.n}", normalize=norm, pin_cpus=args.pin_cpus)
+    hi = submit(args.n * 4, wal, zpath, f"n{args.n * 4}", normalize=norm,
+                pin_cpus=args.pin_cpus)
     assert lo["final_rows"] == hi["final_rows"], "state mismatch across parallelism"
 
     eff = (hi["events_per_sec"] / lo["events_per_sec"]) / 4.0
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    pin_note = (
+        f"Each JVM is pinned with `taskset` to exactly its core budget "
+        f"({args.n} / {args.n * 4} CPUs) — the faithful sandbox analog of a "
+        f"cgroup-limited executor container: GC, shuffle-IO, and Python-worker "
+        f"threads all count against the budget, as they would on YARN/K8s. "
+        if args.pin_cpus
+        else ""
+    )
     md = f"""# BENCH/BASELINE — CDC replay throughput & scaling efficiency
 
 Same job (`scripts/cdc_replay_job.py` via `spark-submit --py-files engine.zip`),
-same pre-generated input ({args.events:,} change events, 4 microbatches,
+same pre-generated input ({args.events:,} change events, 2 microbatches,
 32 buckets), two parallelism levels. No real cluster in this sandbox, so the
 north rule's N→4N executor criterion is evidenced at `local[{args.n}]` vs
-`local[{args.n * 4}]` (driver instruction / BASELINE.md note).
+`local[{args.n * 4}]` (per the driver's instruction / BASELINE.md note).
+{pin_note}A throwaway 20k-event warmup batch runs before timing (the metric
+is SUSTAINED events/sec, not JIT cold-start).
 
 | master | events | wall (s) | sustained events/sec | final rows |
 |---|---|---|---|---|
@@ -106,6 +131,9 @@ north rule's N→4N executor criterion is evidenced at `local[{args.n}]` vs
 Final table state identical at both levels ({lo['final_rows']:,} rows) —
 parallelism does not affect correctness (LWW is order- and
 partitioning-independent).
+
+Reproduce: `python scripts/run_scaling.py --events {args.events} --n {args.n}
+{'--pin-cpus ' if args.pin_cpus else ''}{'--no-normalize' if args.no_normalize else ''}`
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)

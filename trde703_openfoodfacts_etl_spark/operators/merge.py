@@ -175,34 +175,21 @@ def apply_batch(
         }
 
     # ---- action 2: skinny change detection (hash-only, no payload moves) -----
-    order = _order_struct(F.col("ts"), F.col("lsn"))
-    sk_batch = (
-        env.groupBy(*KEY_COLS)
-        .agg(
-            F.max_by(
-                F.struct(
-                    F.when(F.col("op") == "D", F.lit(None).cast("long"))
-                    .otherwise(row_hash_expr(payload_cols))
-                    .alias("h"),
-                    (F.col("op") == "D").alias("d"),
-                ),
-                order,
-            ).alias("_w"),
-            F.max_by(F.coalesce(F.col("ts"), F.expr(_TS_FLOOR)), order).alias("_ts"),
-            F.max_by(F.col("lsn"), order).alias("_lsn_w"),
-            F.count(F.lit(1)).alias("_n_events"),
-            F.max("lsn").alias("_max_lsn"),
-        )
-        .select(
-            *KEY_COLS,
-            F.col("_w.h").alias("_h"),
-            F.col("_w.d").alias("_d"),
-            "_ts",
-            "_lsn_w",
-            "_n_events",
-            "_max_lsn",
-            F.lit("new").alias("_src"),
-        )
+    # Raw batch events union current state → ONE LWW aggregate (LWW is
+    # associative: merging raw events directly is identical to pre-deduping
+    # then merging, and saves a full shuffle). Map-side partial aggregation
+    # still reduces hot keys before the exchange.
+    sk_batch = env.select(
+        *KEY_COLS,
+        F.when(F.col("op") == "D", F.lit(None).cast("long"))
+        .otherwise(row_hash_expr(payload_cols))
+        .alias("_h"),
+        (F.col("op") == "D").alias("_d"),
+        F.coalesce(F.col("ts"), F.expr(_TS_FLOOR)).alias("_ts"),
+        F.col("lsn").alias("_lsn_w"),
+        F.lit(1).cast("long").alias("_n_events"),
+        F.col("lsn").alias("_max_lsn"),
+        F.lit("new").alias("_src"),
     )
     sk_cur = (
         lake.read(buckets=list(touched), include_deleted=True, with_meta=True, snap=snap)
@@ -257,41 +244,49 @@ def apply_batch(
     bucket_hwm = {int(r[META_BUCKET]): int(r["hwm"]) for r in sk if r["hwm"] is not None}
 
     # ---- action 3: full-payload merge + write, changed buckets only ----------
+    # ONE payload shuffle end-to-end: raw batch events union current state,
+    # repartitioned by (_bucket, conv_id). HashPartitioning(_bucket, conv_id)
+    # satisfies the ClusteredDistribution of groupBy(_bucket, conv_id,
+    # turn_idx) (subset rule), so the LWW aggregate reuses that exchange,
+    # its output stays bucket-clustered, and the partitioned write needs no
+    # further shuffle. conv_id in the partitioning spreads a hot bucket
+    # across tasks while keeping each key in exactly one task.
     replaced: dict[int, list[dict]] = {}
     rows_written = 0
     if changed_buckets:
-        in_changed = bucket_expr(num_buckets).isin([int(b) for b in changed_buckets])
-        winners = lww_winners(env.filter(in_changed), payload_cols)
         nonkey = [c for c in payload_cols if c not in KEY_COLS]
-        batch_side = (
-            winners.withColumn(META_DELETED, F.col("op") == "D")
-            .withColumn(
-                META_ROW_HASH,
-                F.when(F.col("op") == "D", F.lit(None).cast("long")).otherwise(
-                    row_hash_expr(payload_cols)
-                ),
-            )
-            .drop("op")
+        state_nonkey = [*nonkey, META_LSN, META_DELETED, META_ROW_HASH]
+        in_changed = bucket_expr(num_buckets).isin([int(b) for b in changed_buckets])
+        batch_side = env.filter(in_changed).select(
+            *KEY_COLS,
+            *nonkey,
+            F.col("lsn").alias(META_LSN),
+            (F.col("op") == "D").alias(META_DELETED),
+            F.when(F.col("op") == "D", F.lit(None).cast("long"))
+            .otherwise(row_hash_expr(payload_cols))
+            .alias(META_ROW_HASH),
         )
         current_side = lake.read(
             buckets=list(changed_buckets), include_deleted=True, with_meta=True, snap=snap
         ).select(*batch_side.columns)
-        state_nonkey = [*nonkey, META_LSN, META_DELETED, META_ROW_HASH]
         carried = F.struct(*[F.col(c) for c in state_nonkey])
         merged = (
             batch_side.unionByName(current_side)
-            .groupBy(*KEY_COLS)
+            .withColumn(META_BUCKET, bucket_expr(num_buckets))
+            .repartition(F.col(META_BUCKET), F.col("conv_id"))
+            .groupBy(META_BUCKET, *KEY_COLS)
             .agg(
                 F.max_by(carried, _order_struct(F.col("ts"), F.col(META_LSN))).alias("_w")
             )
             .select(
+                META_BUCKET,
                 *KEY_COLS,
                 *[F.col(f"_w.{c}").alias(c) for c in state_nonkey],
             )
-            .withColumn(META_BUCKET, bucket_expr(num_buckets))
         )
         replaced = lake.write_bucket_files(
-            merged, snap["snapshot_id"] + 1, snap["schema_id"], files_per_bucket
+            merged, snap["snapshot_id"] + 1, snap["schema_id"], files_per_bucket,
+            pre_partitioned=True,
         )
         rows_written = sum(fe["rows"] for fs in replaced.values() for fe in fs)
     _t["a3_write"] = time.time()

@@ -537,6 +537,176 @@ SELECT probe_id, rank, neighbor_id FROM r WHERE rank <= 5
 
 
 # ---------------------------------------------------------------------------
+# F. Dedup / text-analysis / ANN operators as gated queries
+# ---------------------------------------------------------------------------
+
+
+def q21_ngram_jaccard(spark, sf_dir):
+    """Word-3-gram Jaccard over all candidate pairs (inverted-index join,
+    operators/dedup.py) — aggregated so the oracle is one deterministic row."""
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.0)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum("jaccard"), 2).alias("sum_jaccard"),
+    )
+
+
+SQL_Q21 = """
+WITH toks AS (SELECT doc_id,
+        string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+    FROM documents),
+sh AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        ELSE list_distinct(list_transform(range(1, len(w)-1),
+                                          i -> array_to_string(w[i:i+2], ' '))) END AS s
+    FROM toks),
+ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+pairs AS (SELECT a.doc_id id_a, b.doc_id id_b, a.sz sa, b.sz sb, count(*) nc
+          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+SELECT count(*) AS n_pairs, round(sum(nc * 1.0 / (sa + sb - nc)), 2) AS sum_jaccard
+FROM pairs
+"""
+
+
+def q22_quality_score(spark, sf_dir):
+    """Composite quality heuristics (functions/text.py quality_score_expr)
+    aggregated per language."""
+    from ..functions.text import quality_score_expr
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("lang", quality_score_expr(F.col("text")).alias("score"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("score"), 4).alias("avg_score"))
+    )
+
+
+SQL_Q22 = """
+WITH m AS (
+    SELECT lang,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+           (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+               * 1.0 / length(text) AS punct,
+           len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+               t -> t IN ('the','a','of','to','and','in','is','it','for','on')))
+               * 1.0 / len(string_split_regex(lower(trim(text)), '\\s+')) AS sw
+    FROM documents)
+SELECT lang, count(*) AS n_docs,
+       round(avg(
+           (CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 1 ELSE 0 END) * 0.4
+         + (CASE WHEN punct < 0.3 THEN 1 ELSE 0 END) * 0.3
+         + (CASE WHEN sw > 0.01 THEN 1 ELSE 0 END) * 0.3), 4) AS avg_score
+FROM m GROUP BY lang
+"""
+
+
+def q23_normalize(spark, sf_dir):
+    """Vectorized NFD normalization (the reference's normalize_string,
+    etl/silver_to_gold.py:20-29, as a pandas UDF) — oracle via DuckDB
+    strip_accents (equal on latin-script inputs)."""
+    from ..functions.normalize import normalize_key
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(normalize_key(F.col("text"))).alias("norm_hash"),
+        F.length(normalize_key(F.col("text"))).cast("long").alias("norm_len"),
+    )
+
+
+SQL_Q23 = """
+SELECT doc_id,
+       md5(trim(regexp_replace(strip_accents(lower(text)), '\\s+', ' ', 'g'))) AS norm_hash,
+       length(trim(regexp_replace(strip_accents(lower(text)), '\\s+', ' ', 'g'))) AS norm_len
+FROM documents
+"""
+
+
+def q24_minhash_lsh(spark, sf_dir):
+    """Banded MinHash LSH near-dup candidates (rows-only check: the hash
+    family is engine-internal, not SQL-expressible)."""
+    from ..operators.dedup import minhash_lsh_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, num_hashes=32, bands=16, threshold=0.1)
+
+
+def q25_simhash(spark, sf_dir):
+    """SimHash signatures + near-dup candidates (rows-only check)."""
+    from ..operators.dedup import simhash_near_dups
+
+    d = load(spark, sf_dir, "documents")
+    return simhash_near_dups(d).filter(F.col("hamming") <= 12)
+
+
+def q26_lang_id(spark, sf_dir):
+    """Heuristic language ID (vectorized pandas UDF; rows-only check) —
+    distribution of detected languages."""
+    from ..functions.text import lang_id
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(lang_id(F.col("text")).alias("detected"))
+        .groupBy("detected")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q27_fingerprint(spark, sf_dir):
+    """Rolling-hash winnowing fingerprints (rows-only): distinct count and
+    collision structure."""
+    from ..functions.text import rolling_fingerprint
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(rolling_fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("distinct_fps"),
+            F.max("n").alias("max_collisions"),
+        )
+    )
+
+
+def q28_ann_lsh(spark, sf_dir):
+    """Random-hyperplane LSH ANN (rows-only: approximate by design)."""
+    from ..operators.similarity import lsh_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5)
+    return lsh_topk(e, probes, k=5, dim=64, n_planes=4, bands=12)
+
+
+def q29_ann_ivf(spark, sf_dir):
+    """IVF-cell ANN (rows-only: approximate by design)."""
+    from ..operators.similarity import ivf_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5)
+    return ivf_topk(e, probes, k=5, dim=64, n_cells=8, nprobe=3)
+
+
+def q30_media_features(spark, sf_dir):
+    """Multimodal plumbing: synthetic media table → mapInPandas feature
+    extraction (rows-only; codecs stubbed — operators/multimodal.py)."""
+    from ..operators.multimodal import decode_features, synth_media
+
+    media = synth_media(spark, n=96)
+    return (
+        decode_features(media)
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(F.element_at("feat", 1)), 4).alias("avg_f0"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -561,4 +731,14 @@ REGISTRY: dict[str, tuple] = {
     "q18_exact_dedup": (q18_exact_dedup, SQL_Q18),
     "q19_lang_profile": (q19_lang_profile, SQL_Q19),
     "q20_ann_bruteforce": (q20_ann_bruteforce, SQL_Q20),
+    "q21_ngram_jaccard": (q21_ngram_jaccard, SQL_Q21),
+    "q22_quality_score": (q22_quality_score, SQL_Q22),
+    "q23_normalize": (q23_normalize, SQL_Q23),
+    "q24_minhash_lsh": (q24_minhash_lsh, None),
+    "q25_simhash": (q25_simhash, None),
+    "q26_lang_id": (q26_lang_id, None),
+    "q27_fingerprint": (q27_fingerprint, None),
+    "q28_ann_lsh": (q28_ann_lsh, None),
+    "q29_ann_ivf": (q29_ann_ivf, None),
+    "q30_media_features": (q30_media_features, None),
 }

@@ -220,14 +220,25 @@ def generate_segments_spark(
         )
         .withColumn(
             "text",
-            # ~300-char payload (realistic turn text size): deterministic,
-            # incompressible-ish, accented (exercises normalization)
+            # ~280-char natural-language-like payload: 40 vocab words picked
+            # by per-position hashes — deterministic, compresses like real
+            # transcript text (sha2 hex would be pathologically
+            # incompressible and skew the IO/CPU balance), accented words
+            # exercise normalization
             F.when(F.col("op") == "D", F.lit(None)).otherwise(
-                F.concat(
-                    F.lit("turn text é "),
-                    F.sha2(F.col("id").cast("string"), 512),
-                    F.lit(" "),
-                    F.sha2((F.col("id") * 7919).cast("string"), 512),
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.element_at(
+                            F.lit(_WORDS.tolist()),
+                            (
+                                F.abs(F.xxhash64(F.col("id") * 131 + F.lit(w)))
+                                % len(_WORDS)
+                                + 1
+                            ).cast("int"),
+                        )
+                        for w in range(40)
+                    ],
                 )
             ),
         )

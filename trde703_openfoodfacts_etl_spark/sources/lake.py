@@ -205,24 +205,34 @@ class LakeTable:
     # -- write path ----------------------------------------------------------
 
     def write_bucket_files(
-        self, df, snapshot_id: int, schema_id: int, files_per_bucket: int = 1
+        self,
+        df,
+        snapshot_id: int,
+        schema_id: int,
+        files_per_bucket: int = 1,
+        pre_partitioned: bool = False,
     ) -> dict[int, list[dict]]:
         """Write a physical DataFrame (user cols + meta cols + _bucket) as
         per-bucket parquet under data/epoch=<snapshot_id>/, return
-        {bucket: [file entries]} for the manifest. One shuffle, sorted within
-        each file by the natural key so downstream reads get stable
-        (conv_id, turn_idx) ordering cheaply."""
+        {bucket: [file entries]} for the manifest.
+
+        ``pre_partitioned=True`` means the caller's plan is already
+        bucket-clustered (e.g. the merge reuses its aggregate exchange) — no
+        extra shuffle is added; each task's rows split into per-bucket files
+        by the dynamic-partition writer. Otherwise one repartition by bucket
+        yields one file per bucket per task."""
         import pyarrow.parquet as pq
 
         rel_epoch = os.path.join(DATA_DIR, f"epoch={snapshot_id}")
         out = os.path.join(self.root, rel_epoch)
         writer = df
-        if files_per_bucket > 1:
-            writer = writer.repartition(
-                files_per_bucket * 64, META_BUCKET, F.col("conv_id")
-            )
-        else:
-            writer = writer.repartition(META_BUCKET)
+        if not pre_partitioned:
+            if files_per_bucket > 1:
+                writer = writer.repartition(
+                    files_per_bucket * 64, META_BUCKET, F.col("conv_id")
+                )
+            else:
+                writer = writer.repartition(META_BUCKET)
         (
             # prefixing the sort with the partition column satisfies the file
             # writer's required ordering, so Spark skips its own re-sort and
