@@ -75,7 +75,10 @@ def submit(cores: int, wal: str, zpath: str, tag: str, normalize: bool = True,
         "--py-files", zpath,
         os.path.join(REPO, "scripts", "cdc_replay_job.py"),
         "--wal", wal, "--lake", lake, "--buckets", "32",
-        "--batches", "2", "--shuffle-partitions", str(max(cores, 8)),
+        # plenty of small shuffle partitions at every level: per-task hash
+        # maps stay bounded (no spill cliff at high concurrency) and AQE
+        # coalesces the excess at runtime
+        "--batches", "2", "--shuffle-partitions", "64",
         "--warmup", "--out", out,
     ] + (["--normalize"] if normalize else [])
     subprocess.run(cmd, check=True, capture_output=True, text=True)

@@ -160,7 +160,12 @@ def apply_batch(
         .distinct()
         .collect()
     )
-    pre = obs.get
+    try:
+        pre = obs.get
+    except Exception:
+        # an empty batch runs zero tasks → no observed-metrics row; fall
+        # back to a direct (trivial) count
+        pre = {"n_raw": batch_df.count(), "n_gated_out": 0}
     _t["a1_touched"] = time.time()
     if not touched:
         new_snap = lake.commit(

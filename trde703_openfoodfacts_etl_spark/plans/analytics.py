@@ -706,6 +706,62 @@ def q30_media_features(spark, sf_dir):
     )
 
 
+def q31_word_explode(spark, sf_dir):
+    """explode(split(...)) multi-valued → rows (reference F6,
+    etl/silver_to_gold.py:89,113,138): top-20 words over documents."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")).alias("word")
+    )
+    return (
+        words.filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
+
+
+SQL_Q31 = """
+SELECT g AS word, count(*) AS n
+FROM (SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS g
+      FROM documents)
+WHERE g <> ''
+GROUP BY g ORDER BY n DESC, word ASC LIMIT 20
+"""
+
+
+def q32_cube(spark, sf_dir):
+    """CUBE grouping sets (beyond the reference — engine capability check)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    )
+
+
+SQL_Q32 = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS spend
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q33_union_distinct(spark, sf_dir):
+    """UNION + DISTINCT set semantics (reference U1): high-value customers
+    from two independent predicates, deduplicated."""
+    c = load(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_acctbal") > 9000).select("c_custkey", "c_mktsegment")
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_mktsegment")
+    return a.unionByName(b).distinct()
+
+
+SQL_Q33 = """
+SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 9000
+UNION
+SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -741,4 +797,7 @@ REGISTRY: dict[str, tuple] = {
     "q28_ann_lsh": (q28_ann_lsh, None),
     "q29_ann_ivf": (q29_ann_ivf, None),
     "q30_media_features": (q30_media_features, None),
+    "q31_word_explode": (q31_word_explode, SQL_Q31),
+    "q32_cube": (q32_cube, SQL_Q32),
+    "q33_union_distinct": (q33_union_distinct, SQL_Q33),
 }

@@ -303,6 +303,40 @@ class LakeTable:
         snap = snap or self.snapshot()
         return sum(b.get("rows", 0) for b in snap["buckets"].values())
 
+    def changes(self, from_snapshot: int, to_snapshot: int | None = None):
+        """Changelog between two snapshots (CDC-out): one row per key whose
+        state differs, with change_type ∈ {insert, update, delete}.
+
+        Snapshot diffing reads only buckets whose file lists differ between
+        the manifests (manifest-driven pruning again), joins old vs new
+        state on the natural key, and classifies by row-hash. Scales as
+        O(changed buckets), not O(table)."""
+        s_from = self.snapshot(from_snapshot)
+        s_to = self.snapshot(to_snapshot if to_snapshot is not None else self.latest_id())
+        changed = [
+            int(b)
+            for b in set(s_from["buckets"]) | set(s_to["buckets"])
+            if s_from["buckets"].get(b, {}).get("files")
+            != s_to["buckets"].get(b, {}).get("files")
+        ]
+        old = self.read(snap=s_from, buckets=changed, with_meta=True).select(
+            *KEY_COLS, F.col(META_ROW_HASH).alias("_old_hash")
+        )
+        new = self.read(snap=s_to, buckets=changed, with_meta=True)
+        j = new.alias("n").join(old.alias("o"), KEY_COLS, "full_outer")
+        change_type = (
+            F.when(F.col(f"o._old_hash").isNull() & F.col(f"n.{META_ROW_HASH}").isNotNull(), "insert")
+            .when(F.col(f"n.{META_ROW_HASH}").isNull() & F.col("o._old_hash").isNotNull(), "delete")
+            .when(~F.col(f"n.{META_ROW_HASH}").eqNullSafe(F.col("o._old_hash")), "update")
+            .otherwise(None)
+        )
+        user_cols = [f.name for f in self.user_schema(s_to).fields if f.name not in KEY_COLS]
+        return (
+            j.withColumn("change_type", change_type)
+            .filter(F.col("change_type").isNotNull())
+            .select(*KEY_COLS, *[F.col(f"n.{c}").alias(c) for c in user_cols], "change_type")
+        )
+
     def vacuum(self, keep_snapshots: int = 2) -> list[str]:
         """Delete data files referenced only by snapshots older than the
         newest `keep_snapshots` (and those manifests). Returns removed paths."""

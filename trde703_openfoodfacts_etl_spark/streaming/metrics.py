@@ -19,7 +19,9 @@ def windowed_op_metrics(stream_df, window: str = "1 minute", watermark: str = "5
         .groupBy(F.window("event_ts", window).alias("w"), "op")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.countDistinct("conv_id").alias("n_conversations"),
+            # exact distinct is unsupported on streams; HLL sketch is the
+            # scale-correct choice anyway
+            F.approx_count_distinct("conv_id").alias("n_conversations"),
         )
         .select(
             F.col("w.start").alias("window_start"),
