@@ -31,7 +31,7 @@ from trde703_openfoodfacts_etl_spark.plans.analytics import REGISTRY  # noqa: E4
 SCRATCH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_scratch", "bench")
 
 #: events for the CDC replay bench, keyed by sf dir basename
-CDC_EVENTS = {"sf0.001": 50_000, "sf0.01": 500_000, "sf0.1": 5_000_000}
+CDC_EVENTS = {"sf0.001": 50_000, "sf0.01": 500_000, "sf0.1": 10_000_000}
 
 
 def time_query(df) -> float:
@@ -77,7 +77,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf_name = os.path.basename(sf_dir.rstrip("/"))
-    spark = build_session(app_name="bench", cores=cores, shuffle_partitions=cores)
+    # 2x cores shuffle partitions: bounded per-task hash state without
+    # over-parallelizing; AQE coalesces at runtime (see BENCH/BASELINE.md)
+    spark = build_session(app_name="bench", cores=cores, shuffle_partitions=max(2 * cores, 16))
 
     queries: dict[str, float] = {}
     total = 0.0

@@ -56,22 +56,30 @@ def gen_input(events: int) -> str:
 
 
 def submit(cores: int, wal: str, zpath: str, tag: str, normalize: bool = True,
-           pin_cpus: bool = False) -> dict:
+           pin_cpus: bool = False, master: str | None = None) -> dict:
     lake = os.path.join(SCRATCH, f"lake_{tag}")
     shutil.rmtree(lake, ignore_errors=True)
     out = os.path.join(SCRATCH, f"result_{tag}.json")
     cmd = []
-    if pin_cpus:
+    if pin_cpus and master is None:
         # Pin the whole JVM (executor threads + GC + shuffle/IO threads +
         # python workers) to exactly `cores` CPUs — the faithful sandbox
         # emulation of a cgroup-limited executor container on YARN/K8s.
         # Bare local[N] only caps *task* threads; GC and IO threads spill
         # onto extra cores and distort the N-vs-4N comparison.
         cmd += ["taskset", "-c", f"0-{cores - 1}"]
+    master_args = (
+        ["--master", master,
+         "--conf", "spark.driver.host=127.0.0.1",
+         "--executor-cores", "1", "--executor-memory", "5g",
+         "--total-executor-cores", str(cores)]
+        if master
+        else ["--master", f"local[{cores}]"]
+    )
     cmd += [
         "spark-submit",
-        "--master", f"local[{cores}]",
-        "--driver-memory", "40g",
+        *master_args,
+        "--driver-memory", "24g" if master else "40g",
         "--py-files", zpath,
         os.path.join(REPO, "scripts", "cdc_replay_job.py"),
         "--wal", wal, "--lake", lake, "--buckets", "32",
@@ -94,26 +102,48 @@ def main() -> None:
     ap.add_argument("--pin-cpus", action="store_true",
                     help="taskset the JVM to exactly N / 4N CPUs (container-"
                          "style resource budget)")
+    ap.add_argument("--standalone", action="store_true",
+                    help="run against a real local Spark standalone cluster: "
+                         "N / 4N single-core worker JVMs, each pinned to its "
+                         "own CPU (true multi-executor execution)")
     args = ap.parse_args()
 
     zpath = build_zip()
     wal = gen_input(args.events)
     norm = not args.no_normalize
-    lo = submit(args.n, wal, zpath, f"n{args.n}", normalize=norm, pin_cpus=args.pin_cpus)
-    hi = submit(args.n * 4, wal, zpath, f"n{args.n * 4}", normalize=norm,
-                pin_cpus=args.pin_cpus)
+
+    def run_level(n: int, tag: str) -> dict:
+        if args.standalone:
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from standalone_cluster import StandaloneCluster
+
+            with StandaloneCluster(n) as cluster:
+                return submit(n, wal, zpath, tag, normalize=norm,
+                              master=cluster.master_url)
+        return submit(n, wal, zpath, tag, normalize=norm, pin_cpus=args.pin_cpus)
+
+    lo = run_level(args.n, f"n{args.n}")
+    hi = run_level(args.n * 4, f"n{args.n * 4}")
     assert lo["final_rows"] == hi["final_rows"], "state mismatch across parallelism"
 
     eff = (hi["events_per_sec"] / lo["events_per_sec"]) / 4.0
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    pin_note = (
-        f"Each JVM is pinned with `taskset` to exactly its core budget "
-        f"({args.n} / {args.n * 4} CPUs) — the faithful sandbox analog of a "
-        f"cgroup-limited executor container: GC, shuffle-IO, and Python-worker "
-        f"threads all count against the budget, as they would on YARN/K8s. "
-        if args.pin_cpus
-        else ""
-    )
+    if args.standalone:
+        pin_note = (
+            f"Runs against a REAL local Spark standalone cluster: {args.n} / "
+            f"{args.n * 4} single-core executor JVMs (separate processes, own "
+            f"heap/GC/shuffle servers, loopback network), each worker pinned "
+            f"to its own CPU. "
+        )
+    elif args.pin_cpus:
+        pin_note = (
+            f"Each JVM is pinned with `taskset` to exactly its core budget "
+            f"({args.n} / {args.n * 4} CPUs) — the faithful sandbox analog of a "
+            f"cgroup-limited executor container: GC, shuffle-IO, and Python-worker "
+            f"threads all count against the budget, as they would on YARN/K8s. "
+        )
+    else:
+        pin_note = ""
     md = f"""# BENCH/BASELINE — CDC replay throughput & scaling efficiency
 
 Same job (`scripts/cdc_replay_job.py` via `spark-submit --py-files engine.zip`),
@@ -124,10 +154,10 @@ north rule's N→4N executor criterion is evidenced at `local[{args.n}]` vs
 {pin_note}A throwaway 20k-event warmup batch runs before timing (the metric
 is SUSTAINED events/sec, not JIT cold-start).
 
-| master | events | wall (s) | sustained events/sec | final rows |
+| cluster size | events | wall (s) | sustained events/sec | final rows |
 |---|---|---|---|---|
-| local[{args.n}] | {lo['events']:,} | {lo['wall_sec']} | {lo['events_per_sec']:,} | {lo['final_rows']:,} |
-| local[{args.n * 4}] | {hi['events']:,} | {hi['wall_sec']} | {hi['events_per_sec']:,} | {hi['final_rows']:,} |
+| N = {args.n} ({lo['master']}) | {lo['events']:,} | {lo['wall_sec']} | {lo['events_per_sec']:,} | {lo['final_rows']:,} |
+| 4N = {args.n * 4} ({hi['master']}) | {hi['events']:,} | {hi['wall_sec']} | {hi['events_per_sec']:,} | {hi['final_rows']:,} |
 
 **Scaling efficiency (T_4N / T_N) / 4 = {eff:.3f}** (target ≥ 0.8)
 
