@@ -28,6 +28,9 @@ def main() -> None:
     ap.add_argument("--normalize", action="store_true",
                     help="run the vectorized text-normalization UDF per batch "
                          "(the full north-star pipeline shape)")
+    ap.add_argument("--mode", choices=["cow", "mor"], default="cow")
+    ap.add_argument("--compact-after", action="store_true",
+                    help="run (and separately time) compaction after a MOR replay")
     ap.add_argument("--warmup", action="store_true",
                     help="replay a tiny throwaway batch before timing starts "
                          "(JIT/codegen warmup — the metric is SUSTAINED "
@@ -104,18 +107,25 @@ def main() -> None:
     lake = LakeTable.create(spark, args.lake, schema, num_buckets=args.buckets)
     t0 = time.time()
     metrics = run_incremental(
-        lake, args.wal, segments_per_batch=per_batch, transform=transform
+        lake, args.wal, segments_per_batch=per_batch, transform=transform,
+        mode=args.mode,
     )
     wall = time.time() - t0
     events = sum(m.get("events_in", 0) for m in metrics)
     result = {
         "master": spark.sparkContext.master,
+        "mode": args.mode,
         "events": events,
         "batches": len(metrics),
         "wall_sec": round(wall, 3),
         "events_per_sec": round(events / wall, 1),
         "final_rows": lake.total_rows(),
     }
+    if args.mode == "mor" and args.compact_after:
+        t1 = time.time()
+        lake.compact()
+        result["compact_sec"] = round(time.time() - t1, 3)
+        result["final_rows"] = lake.total_rows()
     with open(args.out, "w") as f:
         json.dump(result, f)
     print(json.dumps(result))

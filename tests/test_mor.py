@@ -1,0 +1,93 @@
+"""Merge-on-read mode: delta-append ingest + LWW-at-read + compaction all
+converge to the same state as copy-on-write (and the DuckDB oracle)."""
+
+from __future__ import annotations
+
+import pytest
+
+from trde703_openfoodfacts_etl_spark.operators.merge import apply_batch
+from trde703_openfoodfacts_etl_spark.schema import TRANSCRIPT_SCHEMA
+from trde703_openfoodfacts_etl_spark.sources.genfeed import generate_segments
+from trde703_openfoodfacts_etl_spark.sources.lake import LakeTable
+from trde703_openfoodfacts_etl_spark.streaming.pipeline import run_incremental
+
+from helpers import assert_states_equal, duckdb_replay_oracle, lake_state_pdf, make_events
+
+
+@pytest.fixture(scope="module")
+def wal_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("wal_mor")
+    generate_segments(str(d), n_convs=120, n_events=6_000, n_segments=3, seed=31)
+    return str(d)
+
+
+def test_mor_replay_matches_oracle(spark, tmp_path, wal_dir):
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, num_buckets=8)
+    metrics = run_incremental(lake, wal_dir, mode="mor")
+    assert all(m["mode"] == "mor" for m in metrics)
+    oracle = duckdb_replay_oracle(f"{wal_dir}/*.parquet")
+    assert_states_equal(lake_state_pdf(lake), oracle)
+
+
+def test_compaction_preserves_state_and_clears_deltas(spark, tmp_path, wal_dir):
+    lake = LakeTable.create(spark, str(tmp_path / "lake2"), TRANSCRIPT_SCHEMA, num_buckets=8)
+    run_incremental(lake, wal_dir, mode="mor")
+    before = lake_state_pdf(lake)
+    snap = lake.snapshot()
+    assert any(b.get("delta") for b in snap["buckets"].values())
+    n_files_before = sum(len(b["files"]) for b in snap["buckets"].values())
+
+    new_snap = lake.compact()
+    assert not any(b.get("delta") for b in new_snap["buckets"].values())
+    n_files_after = sum(len(b["files"]) for b in new_snap["buckets"].values())
+    assert n_files_after < n_files_before
+    assert_states_equal(lake_state_pdf(lake), before)
+    # manifest row counts are exact again after compaction
+    assert lake.total_rows() == lake.read().count()
+
+
+def test_mor_with_mid_stream_schema_evolution(spark, tmp_path):
+    """Delta files of different schema generations resolve correctly at read."""
+    from pyspark.sql import types as T
+
+    wal = str(tmp_path / "walv2")
+    generate_segments(wal, n_convs=60, n_events=3_000, n_segments=3, seed=37,
+                      v2_from_segment=2)
+    lake = LakeTable.create(spark, str(tmp_path / "lakev2"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    run_incremental(lake, wal, mode="mor")
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "tool_meta"]
+    oracle = duckdb_replay_oracle(f"{wal}/*.parquet", extra_cols=["tool_meta"])
+    assert_states_equal(lake_state_pdf(lake, cols), oracle)
+    assert isinstance(
+        {f.name: f for f in lake.user_schema().fields}["turn_idx"].dataType, T.LongType
+    )
+    lake.compact()
+    assert_states_equal(lake_state_pdf(lake, cols), oracle)
+
+
+def test_mor_then_cow_compose(spark, tmp_path):
+    """COW apply over delta-carrying buckets resolves LWW on its
+    current-state read — modes compose on one table."""
+    lake = LakeTable.create(spark, str(tmp_path / "lake3"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    apply_batch(lake, make_events(spark, [
+        ("I", 1, "c1", 0, "user", "v1", None, 100),
+        ("U", 2, "c1", 0, "user", "v2", None, 200),
+    ]), 0, mode="mor")
+    apply_batch(lake, make_events(spark, [
+        ("U", 3, "c1", 0, "user", "v3", None, 300),
+        ("I", 4, "c2", 0, "user", "x", None, 310),
+    ]), 1, mode="cow")
+    st = {(r["conv_id"], r["turn_idx"]): r["text"] for r in lake.read().collect()}
+    assert st == {("c1", 0): "v3", ("c2", 0): "x"}
+
+
+def test_mor_delete_and_late_event(spark, tmp_path):
+    lake = LakeTable.create(spark, str(tmp_path / "lake4"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    apply_batch(lake, make_events(spark, [("I", 1, "c1", 0, "user", "a", None, 100)]), 0, mode="mor")
+    apply_batch(lake, make_events(spark, [("D", 5, "c1", 0, None, None, None, 500)]), 1, mode="mor")
+    apply_batch(lake, make_events(spark, [("U", 2, "c1", 0, "user", "zombie", None, 200)]), 2, mode="mor")
+    assert lake_state_pdf(lake).shape[0] == 0  # tombstone wins over late event
+    lake.compact()
+    assert lake_state_pdf(lake).shape[0] == 0  # tombstone survives compaction
+    apply_batch(lake, make_events(spark, [("I", 9, "c1", 0, "user", "b", None, 900)]), 3, mode="mor")
+    assert lake_state_pdf(lake)["text"].tolist() == ["b"]

@@ -196,6 +196,25 @@ class LakeTable:
             df = part if df is None else df.unionByName(part)
         if df is None:
             df = self.spark.createDataFrame([], phys_unified)
+        # merge-on-read: buckets carrying unmerged delta files (MOR ingest)
+        # resolve LWW at read time — one aggregate over the selected buckets
+        needs_merge = any(
+            binfo.get("delta")
+            for b, binfo in snap["buckets"].items()
+            if buckets is None or int(b) in buckets
+        )
+        if needs_merge:
+            nonkey = [c for c in df.columns if c not in KEY_COLS]
+            order = F.struct(
+                F.coalesce(F.col("ts"), F.lit("1970-01-01 00:00:00").cast("timestamp")),
+                F.col(META_LSN),
+            )
+            carried = F.struct(*[F.col(c) for c in nonkey])
+            df = (
+                df.groupBy(*KEY_COLS)
+                .agg(F.max_by(carried, order).alias("_w"))
+                .select(*KEY_COLS, *[F.col(f"_w.{c}").alias(c) for c in nonkey])
+            )
         if not include_deleted:
             df = df.filter(~F.coalesce(F.col(META_DELETED), F.lit(False)))
         if not with_meta:
@@ -271,15 +290,26 @@ class LakeTable:
         stream_id: str,
         batch_id: int,
         metrics: dict,
+        append: bool = False,
     ) -> dict:
-        """Produce + atomically write the child snapshot: replace file lists
-        for rewritten buckets, bump per-bucket high-watermark LSN, record the
-        applied batch id (idempotence marker) and batch metrics."""
+        """Produce + atomically write the child snapshot: replace (COW) or
+        append (MOR delta) file lists for written buckets, bump per-bucket
+        high-watermark LSN, record the applied batch id (idempotence marker)
+        and batch metrics."""
         new = dict(snap)
         new["parent"] = snap["snapshot_id"]
         new["snapshot_id"] = snap["snapshot_id"] + 1
         bks = {k: dict(v) for k, v in snap["buckets"].items()}
         for b, files in replaced_buckets.items():
+            if append:
+                prev = bks.get(str(b), {"files": [], "hwm_lsn": 0, "rows": None})
+                bks[str(b)] = {
+                    "files": list(prev["files"]) + files,
+                    "hwm_lsn": max(int(prev.get("hwm_lsn") or 0), int(bucket_hwm.get(b, 0))),
+                    "rows": None,  # unknown until compaction (LWW-at-read)
+                    "delta": True,
+                }
+                continue
             bks[str(b)] = {
                 "files": files,
                 "hwm_lsn": int(bucket_hwm.get(b, bks.get(str(b), {}).get("hwm_lsn", 0))),
@@ -301,7 +331,52 @@ class LakeTable:
 
     def total_rows(self, snap: dict | None = None) -> int:
         snap = snap or self.snapshot()
-        return sum(b.get("rows", 0) for b in snap["buckets"].values())
+        if any(b.get("delta") for b in snap["buckets"].values()):
+            # MOR deltas pending: exact live count needs the read-time merge
+            return self.read(snap=snap).count()
+        return sum(b.get("rows") or 0 for b in snap["buckets"].values())
+
+    def compact(self, buckets: list[int] | None = None, files_per_bucket: int = 1) -> dict:
+        """Merge-on-read compaction: rewrite delta-carrying buckets into a
+        single resolved generation (LWW applied once, tombstones retained —
+        they keep late zombies out; age-based tombstone GC is a policy knob
+        for later). Returns the new snapshot dict."""
+        snap = self.snapshot()
+        todo = [
+            int(b)
+            for b, binfo in snap["buckets"].items()
+            if binfo.get("delta") and (buckets is None or int(b) in buckets)
+        ]
+        if not todo:
+            return snap
+        resolved = self.read(
+            buckets=todo, include_deleted=True, with_meta=True, snap=snap
+        ).withColumn(META_BUCKET, bucket_expr(snap["num_buckets"]))
+        replaced = self.write_bucket_files(
+            resolved, snap["snapshot_id"] + 1, snap["schema_id"], files_per_bucket
+        )
+        stats = (
+            resolved.groupBy(META_BUCKET)
+            .agg(
+                F.sum(F.when(~F.col(META_DELETED), 1).otherwise(0)).alias("live"),
+                F.max(META_LSN).alias("hwm"),
+            )
+            .collect()
+        )
+        rows = {int(r[META_BUCKET]): int(r["live"]) for r in stats}
+        hwm = {
+            int(r[META_BUCKET]): max(
+                int(r["hwm"]),
+                int(snap["buckets"].get(str(r[META_BUCKET]), {}).get("hwm_lsn") or 0),
+            )
+            for r in stats
+        }
+        new = self.commit(
+            snap, replaced, hwm, rows, "compaction",
+            self.last_batch_id("compaction", snap) + 1,
+            {"compacted_buckets": todo},
+        )
+        return new
 
     def changes(self, from_snapshot: int, to_snapshot: int | None = None):
         """Changelog between two snapshots (CDC-out): one row per key whose

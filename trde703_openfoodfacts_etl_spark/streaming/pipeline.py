@@ -91,6 +91,7 @@ def run_incremental(
     transform=None,
     max_batches: int | None = None,
     files_per_bucket: int = 1,
+    mode: str = "cow",
 ) -> list[dict]:
     """Tail the WAL directory batch by batch; resumable + idempotent.
 
@@ -113,7 +114,8 @@ def run_incremental(
             df = transform(df)
         out.append(
             apply_batch(
-                lake, df, batch_id, stream_id=stream_id, files_per_bucket=files_per_bucket
+                lake, df, batch_id, stream_id=stream_id,
+                files_per_bucket=files_per_bucket, mode=mode,
             )
         )
     return out
