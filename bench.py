@@ -40,7 +40,7 @@ def time_query(df) -> float:
     return round(time.time() - t0, 3)
 
 
-def bench_cdc_replay(spark, sf_name: str, cores: int) -> dict:
+def bench_cdc_replay(spark, sf_name: str, cores: int, mode: str = "cow") -> dict:
     from trde703_openfoodfacts_etl_spark.operators.merge import apply_batch
     from trde703_openfoodfacts_etl_spark.schema import TRANSCRIPT_SCHEMA
     from trde703_openfoodfacts_etl_spark.sources.genfeed import generate_segments_spark
@@ -50,7 +50,7 @@ def bench_cdc_replay(spark, sf_name: str, cores: int) -> dict:
     n_events = CDC_EVENTS.get(sf_name, 500_000)
     n_convs = max(1000, n_events // 100)
     wal = os.path.join(SCRATCH, f"wal_{sf_name}_{n_events}")
-    lake_dir = os.path.join(SCRATCH, f"lake_{sf_name}_{cores}")
+    lake_dir = os.path.join(SCRATCH, f"lake_{sf_name}_{cores}_{mode}")
     shutil.rmtree(lake_dir, ignore_errors=True)
     if not os.path.exists(os.path.join(wal, "_SUCCESS")):
         shutil.rmtree(wal, ignore_errors=True)
@@ -62,15 +62,21 @@ def bench_cdc_replay(spark, sf_name: str, cores: int) -> dict:
     n_files = len(list_segments(wal))
     per_batch = max(1, (n_files + 3) // 4)  # 4 microbatches
     t0 = time.time()
-    metrics = run_incremental(lake, wal, segments_per_batch=per_batch)
+    metrics = run_incremental(lake, wal, segments_per_batch=per_batch, mode=mode)
     wall = time.time() - t0
-    return {
+    out = {
+        "mode": mode,
         "events": n_events,
         "batches": len(metrics),
         "wall_sec": round(wall, 3),
         "events_per_sec": round(n_events / wall, 1),
-        "final_rows": lake.total_rows(),
     }
+    if mode == "mor":
+        t1 = time.time()
+        lake.compact()
+        out["compact_sec"] = round(time.time() - t1, 3)
+    out["final_rows"] = lake.total_rows()
+    return out
 
 
 def main() -> None:
@@ -84,9 +90,12 @@ def main() -> None:
     queries: dict[str, float] = {}
     total = 0.0
 
-    cdc = bench_cdc_replay(spark, sf_name, cores)
+    cdc = bench_cdc_replay(spark, sf_name, cores, mode="cow")
     queries["q00_cdc_replay"] = cdc["wall_sec"]
     total += cdc["wall_sec"]
+    cdc_mor = bench_cdc_replay(spark, sf_name, cores, mode="mor")
+    queries["q00_cdc_replay_mor"] = cdc_mor["wall_sec"]
+    total += cdc_mor["wall_sec"]
 
     for name, (fn, _sql) in REGISTRY.items():
         df = fn(spark, sf_dir)
@@ -102,6 +111,7 @@ def main() -> None:
         "sf": sf_name,
         "cores": cores,
         "cdc": cdc,
+        "cdc_mor": cdc_mor,
     }
     print(json.dumps(out))
 
