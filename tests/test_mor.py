@@ -81,6 +81,26 @@ def test_mor_then_cow_compose(spark, tmp_path):
     assert st == {("c1", 0): "v3", ("c2", 0): "x"}
 
 
+def test_auto_compaction_policy(spark, tmp_path, wal_dir):
+    """auto_compact_after bounds per-bucket delta file counts during MOR
+    ingest, without changing the final state."""
+    lake = LakeTable.create(spark, str(tmp_path / "lakeac"), TRANSCRIPT_SCHEMA, num_buckets=8)
+    run_incremental(lake, wal_dir, mode="mor", auto_compact_after=1)
+    assert max(lake.delta_pressure().values(), default=0) <= 2
+    assert_states_equal(lake_state_pdf(lake), duckdb_replay_oracle(f"{wal_dir}/*.parquet"))
+
+
+def test_selective_read_merges_only_delta_buckets(spark, tmp_path):
+    """After compacting, reads bypass the LWW aggregate (plan check)."""
+    lake = LakeTable.create(spark, str(tmp_path / "lakesel"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    apply_batch(lake, make_events(spark, [("I", 1, "c1", 0, "user", "a", None, 100)]), 0, mode="mor")
+    plan_delta = lake.read()._jdf.queryExecution().executedPlan().toString()
+    assert "max_by" in plan_delta or "HashAggregate" in plan_delta
+    lake.compact()
+    plan_clean = lake.read()._jdf.queryExecution().executedPlan().toString()
+    assert "max_by" not in plan_clean
+
+
 def test_mor_delete_and_late_event(spark, tmp_path):
     lake = LakeTable.create(spark, str(tmp_path / "lake4"), TRANSCRIPT_SCHEMA, num_buckets=4)
     apply_batch(lake, make_events(spark, [("I", 1, "c1", 0, "user", "a", None, 100)]), 0, mode="mor")

@@ -189,32 +189,52 @@ class LakeTable:
                 groups.setdefault(fe["schema_id"], []).append(
                     os.path.join(self.root, fe["path"])
                 )
-        df = None
-        for sid_, paths in sorted(groups.items()):
-            phys = _physical_schema(schema_from_json(snap["schemas"][str(sid_)]))
-            part = conform(self.spark.read.schema(phys).parquet(*paths), phys_unified)
-            df = part if df is None else df.unionByName(part)
-        if df is None:
-            df = self.spark.createDataFrame([], phys_unified)
-        # merge-on-read: buckets carrying unmerged delta files (MOR ingest)
-        # resolve LWW at read time — one aggregate over the selected buckets
-        needs_merge = any(
-            binfo.get("delta")
+        # merge-on-read: buckets carrying unmerged delta files resolve LWW at
+        # read time — selectively: only delta buckets pay the aggregate,
+        # compacted buckets stream straight through (union afterwards).
+        delta_buckets = {
+            int(b)
             for b, binfo in snap["buckets"].items()
-            if buckets is None or int(b) in buckets
-        )
-        if needs_merge:
-            nonkey = [c for c in df.columns if c not in KEY_COLS]
+            if binfo.get("delta") and (buckets is None or int(b) in buckets)
+        }
+
+        def _assemble(groups_: dict[int, list[str]]):
+            df_ = None
+            for sid_, paths in sorted(groups_.items()):
+                phys = _physical_schema(schema_from_json(snap["schemas"][str(sid_)]))
+                part = conform(self.spark.read.schema(phys).parquet(*paths), phys_unified)
+                df_ = part if df_ is None else df_.unionByName(part)
+            return df_
+
+        if delta_buckets:
+            clean_g: dict[int, list[str]] = {}
+            delta_g: dict[int, list[str]] = {}
+            for b, binfo in snap["buckets"].items():
+                if buckets is not None and int(b) not in buckets:
+                    continue
+                tgt = delta_g if int(b) in delta_buckets else clean_g
+                for fe in binfo["files"]:
+                    tgt.setdefault(fe["schema_id"], []).append(
+                        os.path.join(self.root, fe["path"])
+                    )
+            ddf = _assemble(delta_g)
+            nonkey = [f.name for f in phys_unified.fields if f.name not in KEY_COLS]
             order = F.struct(
                 F.coalesce(F.col("ts"), F.lit("1970-01-01 00:00:00").cast("timestamp")),
                 F.col(META_LSN),
             )
             carried = F.struct(*[F.col(c) for c in nonkey])
-            df = (
-                df.groupBy(*KEY_COLS)
+            ddf = (
+                ddf.groupBy(*KEY_COLS)
                 .agg(F.max_by(carried, order).alias("_w"))
                 .select(*KEY_COLS, *[F.col(f"_w.{c}").alias(c) for c in nonkey])
             )
+            cdf = _assemble(clean_g)
+            df = ddf if cdf is None else cdf.unionByName(ddf)
+        else:
+            df = _assemble(groups)
+        if df is None:
+            df = self.spark.createDataFrame([], phys_unified)
         if not include_deleted:
             df = df.filter(~F.coalesce(F.col(META_DELETED), F.lit(False)))
         if not with_meta:
@@ -335,6 +355,24 @@ class LakeTable:
             # MOR deltas pending: exact live count needs the read-time merge
             return self.read(snap=snap).count()
         return sum(b.get("rows") or 0 for b in snap["buckets"].values())
+
+    def delta_pressure(self, snap: dict | None = None) -> dict[int, int]:
+        """Delta file count per MOR bucket (compaction-policy signal)."""
+        snap = snap or self.snapshot()
+        return {
+            int(b): len(binfo["files"])
+            for b, binfo in snap["buckets"].items()
+            if binfo.get("delta")
+        }
+
+    def maybe_compact(self, max_delta_files: int = 8, files_per_bucket: int = 1) -> dict | None:
+        """Auto-compaction policy: fold buckets whose delta file count
+        exceeds the threshold (read amplification bound). In production this
+        runs as an async maintenance job; inline here."""
+        todo = [b for b, n in self.delta_pressure().items() if n > max_delta_files]
+        if not todo:
+            return None
+        return self.compact(buckets=todo, files_per_bucket=files_per_bucket)
 
     def compact(self, buckets: list[int] | None = None, files_per_bucket: int = 1) -> dict:
         """Merge-on-read compaction: rewrite delta-carrying buckets into a

@@ -92,11 +92,14 @@ def run_incremental(
     max_batches: int | None = None,
     files_per_bucket: int = 1,
     mode: str = "cow",
+    auto_compact_after: int | None = None,
 ) -> list[dict]:
     """Tail the WAL directory batch by batch; resumable + idempotent.
 
     ``transform`` (optional) maps the raw batch DataFrame → enriched batch
     (e.g. vectorized text normalization / quality columns) before the merge.
+    ``auto_compact_after`` (MOR): fold buckets down once their delta file
+    count exceeds the threshold (bounds read amplification during ingest).
     """
     segs = list_segments(segments_dir)
     batches = [
@@ -118,6 +121,8 @@ def run_incremental(
                 files_per_bucket=files_per_bucket, mode=mode,
             )
         )
+        if auto_compact_after is not None and mode == "mor":
+            lake.maybe_compact(max_delta_files=auto_compact_after)
     return out
 
 
