@@ -111,3 +111,32 @@ def test_mor_delete_and_late_event(spark, tmp_path):
     assert lake_state_pdf(lake).shape[0] == 0  # tombstone survives compaction
     apply_batch(lake, make_events(spark, [("I", 9, "c1", 0, "user", "b", None, 900)]), 3, mode="mor")
     assert lake_state_pdf(lake)["text"].tolist() == ["b"]
+
+
+def test_tombstone_gc_at_compaction(spark, tmp_path):
+    lake = LakeTable.create(spark, str(tmp_path / "lakegc"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    apply_batch(lake, make_events(spark, [
+        ("I", 1, "c1", 0, "user", "a", None, 100),
+        ("I", 2, "c2", 0, "user", "b", None, 110),
+    ]), 0, mode="mor")
+    apply_batch(lake, make_events(spark, [("D", 3, "c1", 0, None, None, None, 300)]), 1, mode="mor")
+    lake.compact(drop_tombstones_below_lsn=100)  # horizon above the delete lsn=3
+    # tombstone dropped: physical rows == live rows
+    phys = lake.read(include_deleted=True).count()
+    assert phys == lake.read().count() == 1
+
+
+def test_streaming_session_window(spark, tmp_path):
+    from trde703_openfoodfacts_etl_spark.schema import CDC_SCHEMA
+    from trde703_openfoodfacts_etl_spark.streaming.metrics import run_session_stream
+
+    wal = str(tmp_path / "walss")
+    generate_segments(wal, n_convs=30, n_events=1500, n_segments=1, seed=3)
+    out = run_session_stream(
+        spark, wal, CDC_SCHEMA, str(tmp_path / "ckpt"),
+        query_name="t_sessions", gap="10 minutes", watermark="1 hour",
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r["session_end"] > r["session_start"] for r in rows)
+    assert all(r["n_events"] >= 1 for r in rows)

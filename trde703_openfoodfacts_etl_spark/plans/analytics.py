@@ -762,6 +762,53 @@ SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'
 """
 
 
+def q34_pivot(spark, sf_dir):
+    """Pivot with explicit values (deterministic columns): order counts per
+    priority pivoted by status."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_filled"),
+            F.coalesce("P", F.lit(0)).alias("n_partial"),
+        )
+    )
+
+
+SQL_Q34 = """
+SELECT o_orderpriority,
+       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
+       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_partial
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q35_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (quantile_cont semantics)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+    )
+
+
+SQL_Q35 = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -800,4 +847,6 @@ REGISTRY: dict[str, tuple] = {
     "q31_word_explode": (q31_word_explode, SQL_Q31),
     "q32_cube": (q32_cube, SQL_Q32),
     "q33_union_distinct": (q33_union_distinct, SQL_Q33),
+    "q34_pivot": (q34_pivot, SQL_Q34),
+    "q35_percentiles": (q35_percentiles, SQL_Q35),
 }

@@ -374,11 +374,18 @@ class LakeTable:
             return None
         return self.compact(buckets=todo, files_per_bucket=files_per_bucket)
 
-    def compact(self, buckets: list[int] | None = None, files_per_bucket: int = 1) -> dict:
+    def compact(
+        self,
+        buckets: list[int] | None = None,
+        files_per_bucket: int = 1,
+        drop_tombstones_below_lsn: int | None = None,
+    ) -> dict:
         """Merge-on-read compaction: rewrite delta-carrying buckets into a
-        single resolved generation (LWW applied once, tombstones retained —
-        they keep late zombies out; age-based tombstone GC is a policy knob
-        for later). Returns the new snapshot dict."""
+        single resolved generation (LWW applied once). Tombstones are
+        retained by default — they keep late zombies out. Once the source
+        guarantees no event below an LSN can still arrive (e.g. WAL
+        retention horizon), ``drop_tombstones_below_lsn`` garbage-collects
+        tombstones older than that watermark. Returns the new snapshot."""
         snap = self.snapshot()
         todo = [
             int(b)
@@ -390,9 +397,16 @@ class LakeTable:
         resolved = self.read(
             buckets=todo, include_deleted=True, with_meta=True, snap=snap
         ).withColumn(META_BUCKET, bucket_expr(snap["num_buckets"]))
-        replaced = self.write_bucket_files(
+        if drop_tombstones_below_lsn is not None:
+            resolved = resolved.filter(
+                ~(F.col(META_DELETED) & (F.col(META_LSN) < drop_tombstones_below_lsn))
+            )
+        written = self.write_bucket_files(
             resolved, snap["snapshot_id"] + 1, snap["schema_id"], files_per_bucket
         )
+        # buckets whose resolved state is empty (e.g. everything tombstoned
+        # and GC'd) still replace their delta files — with an empty list
+        replaced = {b: written.get(b, []) for b in todo}
         stats = (
             resolved.groupBy(META_BUCKET)
             .agg(
@@ -402,12 +416,13 @@ class LakeTable:
             .collect()
         )
         rows = {int(r[META_BUCKET]): int(r["live"]) for r in stats}
+        rows = {b: rows.get(b, 0) for b in todo}
         hwm = {
-            int(r[META_BUCKET]): max(
-                int(r["hwm"]),
-                int(snap["buckets"].get(str(r[META_BUCKET]), {}).get("hwm_lsn") or 0),
+            b: max(
+                next((int(r["hwm"]) for r in stats if int(r[META_BUCKET]) == b), 0),
+                int(snap["buckets"].get(str(b), {}).get("hwm_lsn") or 0),
             )
-            for r in stats
+            for b in todo
         }
         new = self.commit(
             snap, replaced, hwm, rows, "compaction",

@@ -33,6 +33,40 @@ def windowed_op_metrics(stream_df, window: str = "1 minute", watermark: str = "5
     )
 
 
+def session_window_metrics(stream_df, gap: str = "30 minutes", watermark: str = "1 hour"):
+    """Per-conversation activity sessions on the live stream:
+    ``session_window`` groups events separated by < gap into one session —
+    the streaming-native sessionization (batch analog: q16_sessionize)."""
+    return (
+        stream_df.withWatermark("event_ts", watermark)
+        .groupBy(F.session_window("event_ts", gap).alias("s"), "conv_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "conv_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_session_stream(spark, segments_dir: str, source_schema, checkpoint_dir: str,
+                       query_name: str = "feed_sessions",
+                       gap: str = "30 minutes", watermark: str = "1 hour"):
+    stream = spark.readStream.schema(source_schema).parquet(segments_dir)
+    agg = session_window_metrics(stream, gap, watermark)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def run_metrics_stream(spark, segments_dir: str, source_schema, checkpoint_dir: str,
                        query_name: str = "feed_metrics",
                        window: str = "1 minute", watermark: str = "5 minutes"):
