@@ -60,3 +60,30 @@ def test_windowed_metrics_with_watermark(spark, wal_dir, tmp_path):
     assert {r["op"] for r in rows} <= {"I", "U", "D"}
     assert sum(r["n_events"] for r in rows) > 0
     assert all(r["window_end"] > r["window_start"] for r in rows)
+
+
+def test_stateful_conversation_summaries(spark, wal_dir, tmp_path):
+    """applyInPandasWithState: per-conversation durable state across
+    microbatches equals a batch recomputation over the same feed."""
+    from trde703_openfoodfacts_etl_spark.streaming.stateful import run_conversation_state
+
+    out = run_conversation_state(
+        spark, wal_dir, CDC_SCHEMA, str(tmp_path / "ckpt_state"), query_name="t_state"
+    ).toPandas().set_index("conv_id")
+
+    batch = (
+        spark.read.parquet(f"{wal_dir}/*.parquet")
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("events_seen"),
+            F.max("turn_idx").cast("long").alias("max_turn"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("deletes_seen"),
+        )
+        .toPandas()
+        .set_index("conv_id")
+    )
+    assert len(out) == len(batch)
+    joined = out.join(batch, lsuffix="_s", rsuffix="_b")
+    assert (joined["events_seen_s"] == joined["events_seen_b"]).all()
+    assert (joined["max_turn_s"] == joined["max_turn_b"]).all()
+    assert (joined["deletes_seen_s"] == joined["deletes_seen_b"]).all()
