@@ -85,3 +85,43 @@ def test_time_travel_and_vacuum(spark, tmp_path):
     removed = lake.vacuum(keep_snapshots=1)
     assert removed  # old epoch files gone
     assert lake.read().select("text").first()[0] == "v2"  # latest intact
+
+
+def test_resume_with_grown_wal_multi_segment_batches(spark, tmp_path):
+    """Regression (ADVICE r1, high): with segments_per_batch > 1, a resumed
+    run must not re-slice the grown segment listing positionally — segments
+    that fall into an already-committed batch id would be silently lost.
+    Resume is watermark-based: exactly the unapplied segments are batched."""
+    import shutil
+
+    src = str(tmp_path / "all")
+    paths = generate_segments(src, n_convs=50, n_events=5_000, n_segments=5, seed=23)
+    wal = str(tmp_path / "wal")
+    os.makedirs(wal)
+    for p in paths[:3]:
+        shutil.copy(p, wal)
+
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    run_incremental(lake, wal, segments_per_batch=2)  # batches [s0,s1],[s2]
+    assert lake.last_segment_hwm("default") == os.path.basename(paths[2])
+
+    for p in paths[3:]:
+        shutil.copy(p, wal)  # WAL grows between runs
+    run_incremental(lake, wal, segments_per_batch=2)  # must apply exactly s3,s4
+
+    oracle = duckdb_replay_oracle(f"{src}/*.parquet")
+    assert_states_equal(lake_state_pdf(lake), oracle)
+
+
+def test_list_segments_natural_order(tmp_path):
+    """Unpadded sequence numbers (segment=10 vs segment=2) must order
+    numerically, not lexicographically (ADVICE r1, low)."""
+    from trde703_openfoodfacts_etl_spark.streaming.pipeline import list_segments
+
+    wal = tmp_path / "wal"
+    for i in [1, 2, 10, 11, 3]:
+        d = wal / f"segment={i}"
+        d.mkdir(parents=True)
+        (d / "part-0.parquet").touch()
+    got = [int(p.split("segment=")[1].split("/")[0]) for p in list_segments(str(wal))]
+    assert got == [1, 2, 3, 10, 11]

@@ -100,6 +100,7 @@ def apply_batch(
     stream_id: str = "default",
     files_per_bucket: int = 1,
     mode: str = "cow",
+    segment_hwm: str | None = None,
 ) -> dict:
     """Apply one CDC microbatch (op, lsn, event_ts + payload) to the lake.
 
@@ -182,6 +183,7 @@ def apply_batch(
         new_snap = lake.commit(
             snap, {}, {}, {}, stream_id, batch_id,
             {"batch_id": batch_id, "events_in": int(pre["n_raw"]), "empty_batch": True},
+            stream_hwm=segment_hwm,
         )
         return {
             "batch_id": batch_id,
@@ -226,7 +228,7 @@ def apply_batch(
         )
         new_snap = lake.commit(
             snap, replaced, {b: hwm for b in replaced}, {}, stream_id, batch_id,
-            metrics, append=True,
+            metrics, append=True, stream_hwm=segment_hwm,
         )
         metrics["snapshot_id"] = new_snap["snapshot_id"]
         return metrics
@@ -371,6 +373,7 @@ def apply_batch(
         stream_id,
         batch_id,
         metrics,
+        stream_hwm=segment_hwm,
     )
     _t["commit"] = time.time()
     ks = list(_t)

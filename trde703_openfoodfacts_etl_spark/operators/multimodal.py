@@ -42,18 +42,21 @@ def synth_media(spark, n: int = 64, seed: int = 42):
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
+        # Tuples, not a pandas frame: pd.DataFrame upcasts int+None columns
+        # to float64, which the non-Arrow createDataFrame path rejects for
+        # IntegerType. Tuples keep ints integral on every conversion path.
         rows.append(
-            {
-                "media_id": i,
-                "kind": kind,
-                "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                "width": int(rng.integers(64, 1920)) if kind != "audio" else None,
-                "height": int(rng.integers(64, 1080)) if kind != "audio" else None,
-                "duration_ms": int(rng.integers(1000, 60000)) if kind != "image" else None,
-                "payload": bytes(rng.integers(0, 256, size=int(rng.integers(256, 2048)), dtype=np.uint8)),
-            }
+            (
+                i,
+                kind,
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                int(rng.integers(64, 1920)) if kind != "audio" else None,
+                int(rng.integers(64, 1080)) if kind != "audio" else None,
+                int(rng.integers(1000, 60000)) if kind != "image" else None,
+                bytes(rng.integers(0, 256, size=int(rng.integers(256, 2048)), dtype=np.uint8)),
+            )
         )
-    return spark.createDataFrame(pd.DataFrame(rows), MEDIA_SCHEMA)
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def _decode_image_stub(payload: bytes, width, height) -> np.ndarray:

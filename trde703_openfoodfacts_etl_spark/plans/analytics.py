@@ -125,7 +125,7 @@ def q04_conditional_agg(spark, sf_dir):
 
 SQL_Q04 = """
 SELECT o_orderpriority, count(*) AS n_orders,
-       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
        round(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) * 100.0 / count(*), 4)
            AS pct_open
 FROM orders GROUP BY o_orderpriority
@@ -398,7 +398,12 @@ def q16_sessionize(spark, sf_dir):
     (streaming session_window's batch equivalent)."""
     e = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # Fractional-second epoch: unix_timestamp() truncates to whole seconds
+    # and sessionizes differently from the epoch() oracle whenever a gap
+    # straddles the 1800s boundary by < 1s. NTZ won't cast to double
+    # directly; via ltz is exact under the UTC session timezone.
+    ts_s = F.col("ts").cast("timestamp_ltz").cast("double")
+    gap = ts_s - F.lag(ts_s).over(w)
     new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     return (
         e.withColumn("new_s", new_s)
@@ -415,7 +420,7 @@ WITH g AS (
                                                         ORDER BY ts, event_id)) > 1800
                 THEN 1 ELSE 0 END AS new_s
     FROM events)
-SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM g GROUP BY user_id
 """
 
@@ -781,9 +786,9 @@ def q34_pivot(spark, sf_dir):
 
 SQL_Q34 = """
 SELECT o_orderpriority,
-       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
-       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_partial
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial
 FROM orders GROUP BY o_orderpriority
 """
 

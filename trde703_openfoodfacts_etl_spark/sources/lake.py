@@ -311,6 +311,7 @@ class LakeTable:
         batch_id: int,
         metrics: dict,
         append: bool = False,
+        stream_hwm: str | None = None,
     ) -> dict:
         """Produce + atomically write the child snapshot: replace (COW) or
         append (MOR delta) file lists for written buckets, bump per-bucket
@@ -340,6 +341,13 @@ class LakeTable:
                 bks[str(b)] = dict(bks[str(b)], hwm_lsn=max(bks[str(b)]["hwm_lsn"], int(hwm)))
         new["buckets"] = bks
         new["streams"] = dict(snap.get("streams", {}), **{stream_id: int(batch_id)})
+        if stream_hwm is not None:
+            # segment high-watermark, committed atomically with the batch
+            # marker: resume skips exactly the applied segments even if the
+            # WAL listing has grown since (positional re-slicing is unsafe)
+            new["stream_hwm"] = dict(
+                snap.get("stream_hwm", {}), **{stream_id: stream_hwm}
+            )
         new["metrics"] = metrics
         new["created_unix"] = time.time()
         self._write_snapshot(new)
@@ -348,6 +356,11 @@ class LakeTable:
     def last_batch_id(self, stream_id: str, snap: dict | None = None) -> int:
         snap = snap or self.snapshot()
         return int(snap.get("streams", {}).get(stream_id, -1))
+
+    def last_segment_hwm(self, stream_id: str, snap: dict | None = None) -> str | None:
+        """Last applied WAL segment (relative path) for ``stream_id``."""
+        snap = snap or self.snapshot()
+        return snap.get("stream_hwm", {}).get(stream_id)
 
     def total_rows(self, snap: dict | None = None) -> int:
         snap = snap or self.snapshot()

@@ -13,11 +13,12 @@ Two drivers share the same :func:`..operators.merge.apply_batch` sink:
   the north rule describes: segments are discovered in order, each batch's
   Arrow schema is read from the parquet footers (no Spark job) and diffed
   against the lake schema, so added columns / widened types arriving
-  mid-stream evolve the lake live. Resume needs no extra state: the batch id
-  is the segment sequence number and the manifest records the last one
-  applied, so a restarted run skips committed work and re-applies at most
-  the one uncommitted batch (whose data files, if any, were never
-  referenced by a manifest).
+  mid-stream evolve the lake live. Resume is segment-watermark-based: the
+  manifest records the last applied segment path (atomically with the batch
+  marker), so a restarted run skips exactly the applied segments — even if
+  the WAL listing grew in between — and re-applies at most the one
+  uncommitted batch (whose data files, if any, were never referenced by a
+  manifest).
 
 This closes the reference's declared gap "Pas de mode incrémental: Full
 reload à chaque run" (docs/architecture.md:265,273) and replaces its bash
@@ -27,20 +28,29 @@ stage sequencing (run-pipeline.sh:59-77).
 from __future__ import annotations
 
 import os
+import re
 
 from ..operators.merge import apply_batch
 from ..schema import arrow_schema_of_parquet, merge_schemas
 from ..sources.lake import LakeTable
 
 
+def _natural_key(path: str) -> str:
+    """Order-preserving sort key: every digit run zero-padded to 20 chars,
+    so ``segment=10`` sorts after ``segment=2`` (plain lexicographic order
+    scrambles unpadded sequence numbers past 9). Pure-string keys keep
+    comparisons total — including against a persisted high-watermark."""
+    return re.sub(r"\d+", lambda m: m.group(0).zfill(20), path)
+
+
 def list_segments(segments_dir: str) -> list[str]:
-    """WAL segments in commit order (lexicographic == sequence order)."""
+    """WAL segments in commit order (natural numeric order on path)."""
     out = []
     for dirpath, _, files in os.walk(segments_dir):
         for f in files:
             if f.endswith(".parquet"):
                 out.append(os.path.join(dirpath, f))
-    return sorted(out)
+    return sorted(out, key=_natural_key)
 
 
 _FOOTER_CACHE: dict[str, str] = {}
@@ -96,20 +106,34 @@ def run_incremental(
 ) -> list[dict]:
     """Tail the WAL directory batch by batch; resumable + idempotent.
 
+    Resume is watermark-based, not positional: the manifest records the last
+    *applied segment* (relative path) per stream, committed atomically with
+    the batch marker. A resumed run skips exactly the applied segments and
+    batches the remainder — safe under any ``segments_per_batch`` even when
+    new segments arrived between runs (positional re-slicing of the grown
+    listing would silently drop segments that fall into an already-committed
+    batch id). Requires only that new segments sort after applied ones in
+    natural order — true of any sequence-numbered binlog.
+
     ``transform`` (optional) maps the raw batch DataFrame → enriched batch
     (e.g. vectorized text normalization / quality columns) before the merge.
     ``auto_compact_after`` (MOR): fold buckets down once their delta file
     count exceeds the threshold (bounds read amplification during ingest).
     """
     segs = list_segments(segments_dir)
+    hwm = lake.last_segment_hwm(stream_id)
+    if hwm is not None:
+        hk = _natural_key(hwm)
+        segs = [
+            p for p in segs
+            if _natural_key(os.path.relpath(p, segments_dir)) > hk
+        ]
     batches = [
         segs[i : i + segments_per_batch] for i in range(0, len(segs), segments_per_batch)
     ]
-    last = lake.last_batch_id(stream_id)
+    next_id = lake.last_batch_id(stream_id) + 1
     out = []
-    for batch_id, paths in enumerate(batches):
-        if batch_id <= last:
-            continue
+    for i, paths in enumerate(batches):
         if max_batches is not None and len(out) >= max_batches:
             break
         df = read_batch(lake.spark, paths)
@@ -117,8 +141,9 @@ def run_incremental(
             df = transform(df)
         out.append(
             apply_batch(
-                lake, df, batch_id, stream_id=stream_id,
+                lake, df, next_id + i, stream_id=stream_id,
                 files_per_bucket=files_per_bucket, mode=mode,
+                segment_hwm=os.path.relpath(paths[-1], segments_dir),
             )
         )
         if auto_compact_after is not None and mode == "mor":
