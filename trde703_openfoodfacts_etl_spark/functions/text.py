@@ -74,6 +74,23 @@ def fingerprint_expr(col):
     return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
 
 
+def mingram_fingerprint_expr(col, k: int = 8):
+    """Winnowing-style fingerprint as a pure codegen expression: the minimum
+    md5 over all character ``k``-grams of the whitespace-normalized text
+    (window = whole document). Robust to small edits anywhere but at the
+    selected gram; md5-hex string min is engine-portable, so the exact same
+    value is computable in ANSI SQL (DuckDB oracle parity) — unlike the
+    Karp-Rabin numeric variant (:func:`rolling_fingerprint`), which depends
+    on uint64 wrap-around semantics. Texts shorter than k hash whole."""
+    norm = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    n = F.length(norm)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.md5(F.substring(norm, i, k)),
+    )
+    return F.array_min(grams)
+
+
 # ---------------------------------------------------------------------------
 # Arrow-batched pandas UDFs (vectorized slow path)
 # ---------------------------------------------------------------------------

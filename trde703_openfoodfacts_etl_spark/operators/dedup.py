@@ -52,12 +52,22 @@ def word_shingles(col, n: int = 3):
 
 
 def ngram_jaccard_pairs(df, text_col: str = "text", id_col: str = "doc_id",
-                        n: int = 3, threshold: float = 0.8):
+                        n: int = 3, threshold: float = 0.8,
+                        max_doc_freq: int | None = None):
     """All pairs with word-n-gram Jaccard ≥ threshold.
 
     Inverted-index shape: explode shingles → self-join on shingle →
     count common shingles per pair → |A∩B| / (|A|+|B|-|A∩B|). The join key
     is a single shingle hash (long), so the shuffle carries ids+hashes only.
+
+    ``max_doc_freq`` drops shingles appearing in more than that many
+    documents *before* the self-join — standard inverted-index stopword
+    pruning. Without it, one hot shingle (boilerplate, a common phrase)
+    produces a quadratic posting-list blowup at corpus scale; with it the
+    candidate fanout per shingle is bounded by max_doc_freq². |A∩B| then
+    undercounts intersections that run through dropped shingles, so the
+    reported jaccard is a lower bound (near-dup pairs share many
+    *low-frequency* shingles, so the bound is tight where it matters).
     """
     sh = df.select(
         F.col(id_col).alias("_id"),
@@ -66,6 +76,14 @@ def ngram_jaccard_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     ex = sh.select("_id", "_size", F.explode("_sh").alias("_g")).withColumn(
         "_gh", F.xxhash64("_g")
     ).drop("_g")
+    if max_doc_freq is not None:
+        keep = (
+            ex.groupBy("_gh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("_gh")
+        )
+        ex = ex.join(keep, "_gh")
     a = ex.select(F.col("_id").alias("id_a"), F.col("_size").alias("size_a"), "_gh")
     b = ex.select(F.col("_id").alias("id_b"), F.col("_size").alias("size_b"), "_gh")
     common = (
@@ -112,6 +130,34 @@ def minhash_signatures(df, text_col: str = "text", id_col: str = "doc_id",
     return ex.groupBy("_id").agg(*mins).withColumnRenamed("_id", id_col)
 
 
+def minhash_lsh_candidates(sig, id_col: str = "doc_id",
+                           num_hashes: int = 64, bands: int = 16):
+    """Candidate pairs from banded LSH over precomputed signatures.
+
+    Only (id, band-bucket hash) rides the band explode — 16 bytes/row — not
+    the full signature (which would amplify the shuffle by bands × num_hashes
+    × 8 B per doc; at 100 TB that's the whole job). Signatures are re-joined
+    onto the *deduplicated candidate set* by the caller if needed."""
+    rows = num_hashes // bands
+    buckets = sig.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(*[
+                F.xxhash64(F.lit(bi), *[F.col(f"mh_{bi * rows + r}") for r in range(rows)])
+                for bi in range(bands)
+            ])
+        ).alias("_bucket"),
+    )
+    a = buckets.select(F.col("_id").alias("id_a"), "_bucket")
+    b = buckets.select(F.col("_id").alias("id_b"), "_bucket")
+    return (
+        a.join(b, "_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])  # same pair may collide in many bands
+    )
+
+
 def minhash_lsh_pairs(df, text_col: str = "text", id_col: str = "doc_id",
                       num_hashes: int = 64, bands: int = 16,
                       threshold: float = 0.5, shingle_n: int = 3):
@@ -120,35 +166,26 @@ def minhash_lsh_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     bands × rows (rows = num_hashes/bands); docs agreeing on all rows of any
     band collide → candidates (shuffle on band-bucket hash); candidates are
     verified by estimated Jaccard = fraction of matching signature
-    components. Tune bands/rows for the target threshold s ≈ (1/b)^(1/r)."""
-    rows = num_hashes // bands
+    components, joined onto the deduped candidate set (signatures never ride
+    the band explode). Tune bands/rows for the target s ≈ (1/b)^(1/r)."""
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    band_cols = [
-        F.xxhash64(F.lit(bi), *[F.col(f"mh_{bi * rows + r}") for r in range(rows)]).alias(
-            f"band_{bi}"
-        )
-        for bi in range(bands)
-    ]
-    banded = sig.select(id_col, *[F.col(f"mh_{i}") for i in range(num_hashes)], *band_cols)
-    buckets = banded.select(
-        id_col,
+    cand = minhash_lsh_candidates(sig, id_col, num_hashes, bands)
+    sigs = sig.select(
+        F.col(id_col).alias("_sid"),
         F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("_sig"),
-        F.explode(F.array(*[F.col(f"band_{bi}") for bi in range(bands)])).alias("_bucket"),
     )
-    a = buckets.select(F.col(id_col).alias("id_a"), F.col("_sig").alias("sig_a"), "_bucket")
-    b = buckets.select(F.col(id_col).alias("id_b"), F.col("_sig").alias("sig_b"), "_bucket")
-    cand = (
-        a.join(b, "_bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])  # same pair may collide in many bands
+    paired = (
+        cand.join(sigs.withColumnRenamed("_sid", "id_a").withColumnRenamed("_sig", "sig_a"),
+                  "id_a")
+        .join(sigs.withColumnRenamed("_sid", "id_b").withColumnRenamed("_sig", "sig_b"),
+              "id_b")
     )
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
         / F.lit(float(num_hashes))
     )
     return (
-        cand.withColumn("est_jaccard", F.round(est, 6))
+        paired.withColumn("est_jaccard", F.round(est, 6))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
@@ -161,10 +198,15 @@ def simhash_near_dups(df, text_col: str = "text", id_col: str = "doc_id",
     Returns candidate pairs with exact Hamming distance."""
     sig = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sig"))
     width = 64 // chunks
+    # bitwiseAND, not %: Spark's % follows the dividend's sign, so a negative
+    # signature's chunk 0 (shift by 0 keeps the sign) would get a negative
+    # remainder and miss collisions with positive-signature docs.
     chunk_cols = [
         F.concat(
             F.lit(f"{c}:"),
-            (F.shiftrightunsigned(F.col("_sig"), c * width) % F.lit(1 << width)).cast("string"),
+            F.shiftrightunsigned(F.col("_sig"), c * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .cast("string"),
         ).alias(f"ck_{c}")
         for c in range(chunks)
     ]

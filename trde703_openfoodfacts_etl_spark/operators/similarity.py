@@ -117,6 +117,124 @@ def lsh_topk(corpus, probes, k: int = 10, dim: int = 64, n_planes: int = 12,
     )
 
 
+def _plane_map(spark, plane_ids: list[int], per_band: int):
+    """(plane_id, band, weight=2^pos) literal mapping for data-derived LSH."""
+    rows = [
+        (int(pid), i // per_band, 1 << (i % per_band))
+        for i, pid in enumerate(sorted(plane_ids))
+    ]
+    return spark.createDataFrame(rows, "plane_id long, band int, weight long")
+
+
+def corpus_plane_buckets(df, planes, id_col="vec_id", vec_col="embedding",
+                         out_id="id"):
+    """Sign-bit LSH bucket per (vector, band), hyperplanes = corpus vectors.
+
+    Fully declarative (no Python anywhere): broadcast the tiny plane table,
+    one projection computes dot signs, one partial-aggregated groupBy packs
+    sign bits into the band bucket. Using corpus vectors as hyperplanes makes
+    the whole construction expressible in ANSI SQL — the DuckDB oracle
+    recomputes identical buckets (dots are sequential left folds on both
+    sides, so the doubles are bit-identical)."""
+    bit = (_dot(F.col(vec_col), F.col("_p")) > 0).cast("long")
+    return (
+        df.select(F.col(id_col).alias(out_id), F.col(vec_col))
+        .crossJoin(F.broadcast(planes).select("band", "weight", F.col("_p")))
+        .select(out_id, "band", (bit * F.col("weight")).alias("_contrib"))
+        .groupBy(out_id, "band")
+        .agg(F.sum("_contrib").alias("bucket"))
+    )
+
+
+def corpus_lsh_topk(corpus, probes, plane_ids: list[int], bands: int = 3,
+                    k: int = 10, id_col: str = "vec_id",
+                    vec_col: str = "embedding"):
+    """Random-hyperplane LSH top-k with corpus-vector hyperplanes.
+
+    Same inverted-index shape as :func:`lsh_topk` (bucket equi-join, exact
+    cosine re-rank) but with every step a DataFrame op, no UDF — the
+    oracle-checkable twin of the pandas-UDF production path."""
+    per_band = len(plane_ids) // bands
+    pm = _plane_map(corpus.sparkSession, plane_ids, per_band)
+    planes = pm.join(
+        corpus.select(F.col(id_col).alias("plane_id"), F.col(vec_col).alias("_p")),
+        "plane_id",
+    )
+    cb = corpus_plane_buckets(corpus, planes, id_col, vec_col, "neighbor_id")
+    pb = corpus_plane_buckets(probes, planes, id_col, vec_col, "probe_id")
+    cand = (
+        pb.join(cb, ["band", "bucket"])
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id")
+        .dropDuplicates(["probe_id", "neighbor_id"])
+    )
+    pv = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    w = W.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.join(F.broadcast(pv), "probe_id")
+        .join(cv, "neighbor_id")
+        .select("probe_id", "neighbor_id",
+                cosine_expr(F.col("_pv"), F.col("_cv")).alias("cos"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "rank", "neighbor_id")
+    )
+
+
+def corpus_ivf_topk(corpus, probes, centroid_ids: list[int], nprobe: int = 3,
+                    k: int = 10, id_col: str = "vec_id",
+                    vec_col: str = "embedding"):
+    """IVF top-k with corpus-vector pseudo-centroids, fully declarative.
+
+    Cell assignment is a partial-aggregated ``max_by`` over the broadcast
+    centroid table (never a per-row window); each probe fans out to its
+    ``nprobe`` best cells; exact cosine re-ranks inside probed cells. The
+    centroid choice (corpus rows, deterministic ids) makes the exact result
+    recomputable in the SQL oracle. A production deployment replaces the
+    fixed ids with sampled/k-means centroids and writes the corpus bucketed
+    by cell (shuffle-free probes); see :func:`ivf_topk` for the pandas-UDF
+    assignment variant."""
+    cents = F.broadcast(
+        corpus.filter(F.col(id_col).isin([int(c) for c in sorted(centroid_ids)]))
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("_c"))
+    )
+    # corpus cell = argmax cosine(v, centroid); ties → smallest cent_id
+    cd = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+        .crossJoin(cents)
+        .select(
+            "neighbor_id", "_cv", "cent_id",
+            cosine_expr(F.col("_cv"), F.col("_c")).alias("_cc"),
+        )
+    )
+    corpus_cells = cd.groupBy("neighbor_id").agg(
+        F.max_by(F.col("cent_id"), F.struct(F.col("_cc"), -F.col("cent_id"))).alias("cell"),
+        F.first("_cv").alias("_cv"),
+    )
+    wp = W.partitionBy("probe_id").orderBy(F.desc("_pc"), F.asc("cent_id"))
+    probe_cells = (
+        probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv"))
+        .crossJoin(cents)
+        .select("probe_id", "_pv", "cent_id",
+                cosine_expr(F.col("_pv"), F.col("_c")).alias("_pc"))
+        .withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= nprobe)
+        .select("probe_id", "_pv", F.col("cent_id").alias("cell"))
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(probe_cells)
+        .join(corpus_cells, "cell")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id",
+                cosine_expr(F.col("_pv"), F.col("_cv")).alias("cos"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "rank", "neighbor_id")
+    )
+
+
 def make_centroid_assign_udf(dim: int, n_cells: int = 16, seed: int = 7):
     """IVF cell assignment: nearest of n_cells seeded pseudo-centroids."""
     rng = np.random.default_rng(seed)

@@ -547,15 +547,16 @@ SELECT probe_id, rank, neighbor_id FROM r WHERE rank <= 5
 
 
 def q21_ngram_jaccard(spark, sf_dir):
-    """Word-3-gram Jaccard over all candidate pairs (inverted-index join,
-    operators/dedup.py) — aggregated so the oracle is one deterministic row."""
+    """Word-3-gram Jaccard near-dup pairs (inverted-index join,
+    operators/dedup.py) at a real threshold, with document-frequency capped
+    shingles: a shingle occurring in > 128 docs is boilerplate and would
+    fan out quadratically at corpus scale, so it is pruned from the
+    posting lists (the oracle mirrors the cap exactly)."""
     from ..operators.dedup import ngram_jaccard_pairs
 
     d = load(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, threshold=0.0)
-    return pairs.agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.round(F.sum("jaccard"), 2).alias("sum_jaccard"),
+    return ngram_jaccard_pairs(d, threshold=0.5, max_doc_freq=128).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     )
 
 
@@ -567,12 +568,14 @@ sh AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
         ELSE list_distinct(list_transform(range(1, len(w)-1),
                                           i -> array_to_string(w[i:i+2], ' '))) END AS s
     FROM toks),
-ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+ex0 AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+keep AS (SELECT g FROM ex0 GROUP BY g HAVING count(*) <= 128),
+ex AS (SELECT ex0.* FROM ex0 JOIN keep USING (g)),
 pairs AS (SELECT a.doc_id id_a, b.doc_id id_b, a.sz sa, b.sz sb, count(*) nc
           FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
           GROUP BY 1, 2, 3, 4)
-SELECT count(*) AS n_pairs, round(sum(nc * 1.0 / (sa + sb - nc)), 2) AS sum_jaccard
-FROM pairs
+SELECT id_a, id_b, round(round(nc * 1.0 / (sa + sb - nc), 6), 4) AS jaccard
+FROM pairs WHERE round(nc * 1.0 / (sa + sb - nc), 6) >= 0.5
 """
 
 
@@ -631,25 +634,103 @@ FROM documents
 
 
 def q24_minhash_lsh(spark, sf_dir):
-    """Banded MinHash LSH near-dup candidates (rows-only check: the hash
-    family is engine-internal, not SQL-expressible)."""
-    from ..operators.dedup import minhash_lsh_pairs
+    """Banded MinHash LSH candidates verified with EXACT Jaccard: the output
+    is the set of near-dup pairs (jaccard ≥ 0.5) that LSH recovered. With 32
+    bands × 2 rows, P(miss) at s=0.5 is (1-0.25)^32 ≈ 1e-4 and at the data's
+    real near-dup band (s ≥ 0.7) ≈ 4e-10 — so the oracle (all exact pairs ≥
+    0.5) matches deterministically, making the whole LSH pipeline
+    hash-checkable rather than rows-only."""
+    from ..operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        word_shingles,
+    )
 
     d = load(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, num_hashes=32, bands=16, threshold=0.1)
+    sig = minhash_signatures(d, num_hashes=64, shingle_n=3)
+    cand = minhash_lsh_candidates(sig, num_hashes=64, bands=32)
+    sh = d.select(F.col("doc_id"), word_shingles(F.col("text"), 3).alias("_sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+SQL_Q24 = """
+WITH toks AS (SELECT doc_id,
+        string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+    FROM documents),
+sh AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        ELSE list_distinct(list_transform(range(1, len(w)-1),
+                                          i -> array_to_string(w[i:i+2], ' '))) END AS s
+    FROM toks),
+ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+pairs AS (SELECT a.doc_id id_a, b.doc_id id_b, a.sz sa, b.sz sb, count(*) nc
+          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b, round(nc * 1.0 / (sa + sb - nc), 4) AS jaccard
+FROM pairs WHERE nc * 1.0 / (sa + sb - nc) >= 0.5
+"""
 
 
 def q25_simhash(spark, sf_dir):
-    """SimHash signatures + near-dup candidates (rows-only check)."""
+    """SimHash chunk-collision candidates with exact Hamming distance. The
+    signature is md5-token-hash bit voting (functions/text.py simhash64), so
+    the oracle recomputes identical signatures in pure SQL (md5 + hex-nibble
+    bit extraction) and replicates the candidate contract exactly: pairs
+    sharing ≥1 equal 16-bit chunk, Hamming ≤ 12."""
     from ..operators.dedup import simhash_near_dups
 
     d = load(spark, sf_dir, "documents")
-    return simhash_near_dups(d).filter(F.col("hamming") <= 12)
+    return simhash_near_dups(d).filter(F.col("hamming") <= 12).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+SQL_Q25 = """
+WITH toks AS (
+    SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      t -> t <> '')) AS tok
+    FROM documents),
+th AS (SELECT doc_id, md5(tok) AS h FROM toks),
+bits AS (
+    SELECT doc_id, j,
+           ((16 * (strpos('0123456789abcdef', h[2*(j//8)+1:2*(j//8)+1]) - 1)
+               + (strpos('0123456789abcdef', h[2*(j//8)+2:2*(j//8)+2]) - 1))
+            >> (j % 8)) & 1 AS bit
+    FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS j)),
+votes AS (SELECT doc_id, j, sum(2 * bit - 1) AS v FROM bits GROUP BY 1, 2),
+sigbits AS (SELECT doc_id, j, CASE WHEN v > 0 THEN 1 ELSE 0 END AS sb FROM votes),
+chunks AS (
+    SELECT doc_id, j // 16 AS c,
+           sum(sb * (1::BIGINT << (j % 16))) AS ck
+    FROM sigbits GROUP BY 1, 2),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM chunks a JOIN chunks b ON a.c = b.c AND a.ck = b.ck
+    WHERE a.doc_id < b.doc_id),
+ham AS (
+    SELECT cand.id_a, cand.id_b,
+           CAST(sum(CASE WHEN x.sb <> y.sb THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+    FROM cand
+    JOIN sigbits x ON x.doc_id = cand.id_a
+    JOIN sigbits y ON y.doc_id = cand.id_b AND y.j = x.j
+    GROUP BY 1, 2)
+SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 12
+"""
 
 
 def q26_lang_id(spark, sf_dir):
-    """Heuristic language ID (vectorized pandas UDF; rows-only check) —
-    distribution of detected languages."""
+    """Heuristic language ID (vectorized pandas UDF, functions/text.py
+    lang_id) — distribution of detected languages. The heuristic (CJK
+    codepoint share, stopword-profile argmax with first-wins ties) is
+    deterministic and mirrored 1:1 in the SQL oracle."""
     from ..functions.text import lang_id
 
     d = load(spark, sf_dir, "documents")
@@ -660,14 +741,44 @@ def q26_lang_id(spark, sf_dir):
     )
 
 
+SQL_Q26 = """
+WITH m AS (
+    SELECT text,
+           len(regexp_extract_all(coalesce(text, ''), '[一-鿿]')) AS cjk,
+           greatest(length(coalesce(text, '')), 1) AS total,
+           regexp_extract_all(lower(coalesce(text, '')), '[a-zà-ÿ]+') AS toks
+    FROM documents),
+s AS (
+    SELECT text, cjk, total,
+        len(list_filter(toks, t -> t IN ('the','and','of','to','is','in','it','you','that','was'))) AS en,
+        len(list_filter(toks, t -> t IN ('le','la','les','de','et','un','une','est','que','pour'))) AS fr,
+        len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','für','auf'))) AS de,
+        len(list_filter(toks, t -> t IN ('el','la','los','de','y','que','es','en','un','por'))) AS es
+    FROM m)
+SELECT CASE WHEN text IS NULL THEN NULL
+            WHEN cjk * 1.0 / total > 0.2 THEN 'zh'
+            WHEN greatest(en, fr, de, es) = 0 THEN 'und'
+            WHEN en >= fr AND en >= de AND en >= es THEN 'en'
+            WHEN fr >= de AND fr >= es THEN 'fr'
+            WHEN de >= es THEN 'de'
+            ELSE 'es' END AS detected,
+       count(*) AS n
+FROM s GROUP BY 1
+"""
+
+
 def q27_fingerprint(spark, sf_dir):
-    """Rolling-hash winnowing fingerprints (rows-only): distinct count and
-    collision structure."""
-    from ..functions.text import rolling_fingerprint
+    """Winnowing-style document fingerprints: min md5 over character 8-grams
+    of the normalized text — a pure codegen expression (functions/text.py
+    mingram_fingerprint_expr), portable to the SQL oracle because the md5
+    hex-string min is engine-independent (the Karp-Rabin numeric variant
+    stays in the library for production use; its uint64 wrap semantics
+    aren't SQL-expressible). Output: collision structure."""
+    from ..functions.text import mingram_fingerprint_expr
 
     d = load(spark, sf_dir, "documents")
     return (
-        d.select(rolling_fingerprint(F.col("text")).alias("fp"))
+        d.select(mingram_fingerprint_expr(F.col("text")).alias("fp"))
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n"))
         .agg(
@@ -677,22 +788,121 @@ def q27_fingerprint(spark, sf_dir):
     )
 
 
+SQL_Q27 = """
+WITH f AS (
+    SELECT list_aggregate(
+               list_transform(
+                   range(1, greatest(length(regexp_replace(lower(trim(text)),
+                                                           '\\s+', ' ', 'g')) - 7, 1) + 1),
+                   i -> md5(substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), i, 8))),
+               'min') AS fp
+    FROM documents),
+g AS (SELECT fp, count(*) AS n FROM f GROUP BY fp)
+SELECT count(*) AS distinct_fps, max(n) AS max_collisions FROM g
+"""
+
+
+#: q28 hyperplanes: corpus vectors 100..111, 3 bands × 4 planes (sorted-id
+#: order; weight = 2^position-in-band) — data-derived so the oracle can
+#: recompute identical sign-bit buckets.
+_Q28_PLANES = [(100 + i, i // 4, 1 << (i % 4)) for i in range(12)]
+_Q29_CENTROIDS = list(range(200, 208))
+
+_SQL_DOT = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)"
+)
+
+
+def _sql_cos(a, b):
+    d = _SQL_DOT.format(a=a, b=b)
+    na = _SQL_DOT.format(a=a, b=a)
+    nb = _SQL_DOT.format(a=b, b=b)
+    return f"({d}) / (sqrt({na}) * sqrt({nb}))"
+
+
 def q28_ann_lsh(spark, sf_dir):
-    """Random-hyperplane LSH ANN (rows-only: approximate by design)."""
-    from ..operators.similarity import lsh_topk
+    """Random-hyperplane LSH ANN with corpus-vector hyperplanes
+    (operators/similarity.py corpus_lsh_topk): bucket equi-join + exact
+    cosine re-rank, fully declarative. Hyperplanes are corpus rows, so the
+    oracle recomputes identical buckets (sequential-fold double dots on both
+    sides) — the approximate index becomes hash-checkable. Integer ranks
+    only (float32 cos stays out of the hash)."""
+    from ..operators.similarity import corpus_lsh_topk
 
     e = load(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 5)
-    return lsh_topk(e, probes, k=5, dim=64, n_planes=4, bands=12)
+    return corpus_lsh_topk(e, probes, plane_ids=[p for p, _, _ in _Q28_PLANES],
+                           bands=3, k=5)
+
+
+SQL_Q28 = f"""
+WITH pl AS (SELECT * FROM (VALUES
+        {', '.join(f'({p}, {b}, {w})' for p, b, w in _Q28_PLANES)}
+    ) AS t(plane_id, band, weight)),
+pv AS (SELECT band, weight, embedding AS pe
+       FROM pl JOIN embeddings ON vec_id = plane_id),
+bk AS (
+    SELECT e.vec_id AS id, pv.band,
+           sum(CASE WHEN {_SQL_DOT.format(a='e.embedding', b='pv.pe')} > 0
+                    THEN pv.weight ELSE 0 END) AS bucket
+    FROM embeddings e CROSS JOIN pv GROUP BY 1, 2),
+cand AS (
+    SELECT DISTINCT p.id AS probe_id, c.id AS neighbor_id
+    FROM bk p JOIN bk c ON p.band = c.band AND p.bucket = c.bucket
+    WHERE p.id < 5 AND p.id <> c.id),
+scored AS (
+    SELECT cand.probe_id, cand.neighbor_id,
+           {_sql_cos('pe.embedding', 'ce.embedding')} AS cos
+    FROM cand
+    JOIN embeddings pe ON pe.vec_id = cand.probe_id
+    JOIN embeddings ce ON ce.vec_id = cand.neighbor_id),
+r AS (SELECT probe_id, neighbor_id,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+SELECT probe_id, rank, neighbor_id FROM r WHERE rank <= 5
+"""
 
 
 def q29_ann_ivf(spark, sf_dir):
-    """IVF-cell ANN (rows-only: approximate by design)."""
-    from ..operators.similarity import ivf_topk
+    """IVF-cell ANN with corpus-vector pseudo-centroids
+    (operators/similarity.py corpus_ivf_topk): partial-agg max_by cell
+    assignment, nprobe=3 cell fanout, exact cosine re-rank — and an oracle
+    that re-derives the identical cells. Integer ranks only."""
+    from ..operators.similarity import corpus_ivf_topk
 
     e = load(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 5)
-    return ivf_topk(e, probes, k=5, dim=64, n_cells=8, nprobe=3)
+    return corpus_ivf_topk(e, probes, centroid_ids=_Q29_CENTROIDS, nprobe=3, k=5)
+
+
+SQL_Q29 = f"""
+WITH cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+               WHERE vec_id IN ({', '.join(str(c) for c in _Q29_CENTROIDS)})),
+cc AS (SELECT e.vec_id AS id, e.embedding AS v, cents.cent_id,
+              {_sql_cos('e.embedding', 'cents.ce')} AS s
+       FROM embeddings e CROSS JOIN cents),
+cells AS (
+    SELECT id AS neighbor_id, v, cent_id AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY id ORDER BY s DESC, cent_id) AS rn
+        FROM cc)
+    WHERE rn = 1),
+pcells AS (
+    SELECT id AS probe_id, v AS pv, cent_id AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY id ORDER BY s DESC, cent_id) AS rn
+        FROM cc WHERE id < 5)
+    WHERE rn <= 3),
+scored AS (
+    SELECT probe_id, neighbor_id, {_sql_cos('pv', 'v')} AS cos
+    FROM pcells JOIN cells USING (cell)
+    WHERE probe_id <> neighbor_id),
+r AS (SELECT probe_id, neighbor_id,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+SELECT probe_id, rank, neighbor_id FROM r WHERE rank <= 5
+"""
 
 
 def q30_media_features(spark, sf_dir):
@@ -842,12 +1052,12 @@ REGISTRY: dict[str, tuple] = {
     "q21_ngram_jaccard": (q21_ngram_jaccard, SQL_Q21),
     "q22_quality_score": (q22_quality_score, SQL_Q22),
     "q23_normalize": (q23_normalize, SQL_Q23),
-    "q24_minhash_lsh": (q24_minhash_lsh, None),
-    "q25_simhash": (q25_simhash, None),
-    "q26_lang_id": (q26_lang_id, None),
-    "q27_fingerprint": (q27_fingerprint, None),
-    "q28_ann_lsh": (q28_ann_lsh, None),
-    "q29_ann_ivf": (q29_ann_ivf, None),
+    "q24_minhash_lsh": (q24_minhash_lsh, SQL_Q24),
+    "q25_simhash": (q25_simhash, SQL_Q25),
+    "q26_lang_id": (q26_lang_id, SQL_Q26),
+    "q27_fingerprint": (q27_fingerprint, SQL_Q27),
+    "q28_ann_lsh": (q28_ann_lsh, SQL_Q28),
+    "q29_ann_ivf": (q29_ann_ivf, SQL_Q29),
     "q30_media_features": (q30_media_features, None),
     "q31_word_explode": (q31_word_explode, SQL_Q31),
     "q32_cube": (q32_cube, SQL_Q32),
