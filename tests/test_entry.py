@@ -41,9 +41,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _values_equal(a, b) -> bool:
+    if pd.isna(a) and pd.isna(b):  # None/NaN/NaT all count as equal nulls
+        return True
     if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
-            return True
         return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
     return a == b
 

@@ -1,0 +1,141 @@
+"""SCD2 key history / as-of reads, watermark-driven tombstone GC, snapshot
+CAS multi-writer safety, and configurable quality gates (VERDICT r1 #6-#10).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from trde703_openfoodfacts_etl_spark.operators.merge import apply_batch
+from trde703_openfoodfacts_etl_spark.quality import QualityThresholds, table_quality_report
+from trde703_openfoodfacts_etl_spark.schema import TRANSCRIPT_SCHEMA
+from trde703_openfoodfacts_etl_spark.sources.lake import LakeTable, SnapshotConflict
+
+from helpers import make_events
+
+
+def test_key_history_versions_and_asof(spark, tmp_path):
+    """I → U → U(no-op) → D replay yields exactly 3 versions (the no-op
+    update creates no new version) with contiguous validity intervals."""
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    apply_batch(lake, make_events(spark, [("I", 1, "c1", 0, "user", "v1", None, 100)]), 0)
+    apply_batch(lake, make_events(spark, [("U", 2, "c1", 0, "user", "v2", None, 200)]), 1)
+    # unrelated key changes — must not create versions for (c1, 0)
+    apply_batch(lake, make_events(spark, [("I", 3, "zz", 5, "user", "x", None, 250)]), 2)
+    apply_batch(lake, make_events(spark, [("D", 4, "c1", 0, None, None, None, 300)]), 3)
+
+    hist = lake.key_history("c1", 0).orderBy("valid_from_snapshot").collect()
+    assert [r["text"] for r in hist] == ["v1", "v2", None]
+    assert [bool(r["_deleted"]) for r in hist] == [False, False, True]
+    # intervals chain: each version's valid_to == next version's valid_from
+    for prev, nxt in zip(hist, hist[1:]):
+        assert prev["valid_to_snapshot"] == nxt["valid_from_snapshot"]
+    assert hist[-1]["valid_to_snapshot"] is None and hist[-1]["is_current"]
+    assert not hist[0]["is_current"]
+
+    # as-of read: state at the v1 commit time
+    v1_time = hist[0]["valid_from_unix"]
+    asof = lake.read_asof(v1_time).filter("conv_id = 'c1'").collect()
+    assert [r["text"] for r in asof] == ["v1"]
+
+
+def test_key_history_prunes_unchanged_snapshots(spark, tmp_path):
+    """Snapshots that didn't touch the key's bucket contribute no reads."""
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    apply_batch(lake, make_events(spark, [("I", 1, "c1", 0, "user", "v1", None, 100)]), 0)
+    for i in range(3):  # churn other keys/buckets
+        apply_batch(
+            lake, make_events(spark, [("I", 10 + i, f"other{i}", 0, "user", "y", None, 150 + i)]),
+            1 + i,
+        )
+    hist = lake.key_history("c1", 0).collect()
+    assert len(hist) == 1 and hist[0]["is_current"]
+
+
+def test_gc_tombstones_watermark_policy(spark, tmp_path):
+    """Tombstones older than watermark - lateness are collected; younger
+    ones survive; a zombie (late event older than a surviving tombstone)
+    still cannot resurrect its key."""
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    apply_batch(lake, make_events(spark, [
+        ("I", 1, "c1", 0, "user", "a", None, 100),
+        ("I", 2, "c2", 0, "user", "b", None, 110),
+    ]), 0)
+    apply_batch(lake, make_events(spark, [("D", 3, "c1", 0, None, None, None, 200)]), 1)
+    apply_batch(lake, make_events(spark, [("D", 4, "c2", 0, None, None, None, 5000)]), 2)
+    # advance the watermark far past the first delete only
+    apply_batch(lake, make_events(spark, [("I", 5, "c3", 0, "user", "c", None, 6000)]), 3)
+
+    dead = lake.read(include_deleted=True, with_meta=True).filter("_deleted").count()
+    assert dead == 2
+    # lateness 2000s: horizon = 6000 - 2000 = 4000 → c1's tombstone (ts=200)
+    # goes, c2's (ts=5000) stays
+    new = lake.gc_tombstones(allowed_lateness_sec=2000)
+    assert new is not None
+    remaining = lake.read(include_deleted=True, with_meta=True).filter("_deleted").collect()
+    assert [r["conv_id"] for r in remaining] == ["c2"]
+    # manifest tombstone accounting matches
+    snap = lake.snapshot()
+    assert sum(b.get("tombstones") or 0 for b in snap["buckets"].values()) == 1
+
+    # zombie guard: a late event for c2 (ts=4500 < tombstone ts=5000) loses
+    apply_batch(lake, make_events(spark, [("U", 6, "c2", 0, "user", "zombie", None, 4500)]), 4)
+    assert lake.read().filter("conv_id = 'c2'").count() == 0
+
+
+def test_snapshot_cas_conflict_and_retry(spark, tmp_path):
+    """Two writers racing to the same child snapshot id: the CAS rejects the
+    loser; apply_batch retries against the new head and both batches land."""
+    root = str(tmp_path / "lake")
+    a = LakeTable.create(spark, root, TRANSCRIPT_SCHEMA, num_buckets=4)
+    b = LakeTable(spark, root)
+
+    # direct CAS check
+    snap = a.snapshot()
+    s1 = dict(snap, snapshot_id=snap["snapshot_id"] + 1, parent=snap["snapshot_id"])
+    a._write_snapshot(s1)
+    with pytest.raises(SnapshotConflict):
+        b._write_snapshot(dict(s1))
+
+    # retry path: simulate writer B computing against a stale head by
+    # interleaving commits — apply_batch re-reads the snapshot per attempt,
+    # so both writers' batches land even when their target ids collide
+    apply_batch(a, make_events(spark, [("I", 10, "w1", 0, "user", "from-a", None, 100)]), 0,
+                stream_id="wa")
+    apply_batch(b, make_events(spark, [("I", 11, "w2", 0, "user", "from-b", None, 101)]), 0,
+                stream_id="wb")
+    texts = {r["conv_id"]: r["text"] for r in a.read().collect()}
+    assert texts["w1"] == "from-a" and texts["w2"] == "from-b"
+
+
+def test_quality_thresholds_and_alert_levels(spark):
+    good = spark.createDataFrame(
+        [("c1", 0, "user", "hello world", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    rpt = table_quality_report(good)
+    assert rpt["passed"] and rpt["alert_level"] == "ok"
+    assert {g["gate"] for g in rpt["gates"]} == {
+        "completeness", "uniqueness", "invalid_role_rate", "blank_text_rate"}
+
+    # failing fixture: blank text + invalid role trips configurable bounds
+    bad = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "", None, None),
+            ("c1", 1, "alien", "x", None, None),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    strict = QualityThresholds(max_blank_text_rate=0.1, max_invalid_role_rate=0.1)
+    rpt2 = table_quality_report(bad, thresholds=strict)
+    assert not rpt2["passed"] and rpt2["alert_level"] == "fail"
+    failing = {g["gate"] for g in rpt2["gates"] if g["level"] == "fail"}
+    assert "blank_text_rate" in failing and "invalid_role_rate" in failing
+    # the same data passes under lenient bounds
+    lenient = QualityThresholds(max_blank_text_rate=0.9, max_invalid_role_rate=0.9,
+                                min_completeness=0.1)
+    assert table_quality_report(bad, thresholds=lenient)["passed"]
+    # report is JSON-serializable (sink contract)
+    json.dumps(rpt2)

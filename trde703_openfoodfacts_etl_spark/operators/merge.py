@@ -58,7 +58,7 @@ from ..schema import (
     META_LSN,
     META_ROW_HASH,
 )
-from ..sources.lake import LakeTable, bucket_expr, row_hash_expr
+from ..sources.lake import LakeTable, SnapshotConflict, bucket_expr, row_hash_expr
 
 ENVELOPE_COLS = ("op", "lsn", "event_ts")
 
@@ -94,6 +94,44 @@ def lww_winners(env_df, payload_cols: list[str]):
 
 
 def apply_batch(
+    lake: LakeTable,
+    batch_df,
+    batch_id: int,
+    stream_id: str = "default",
+    files_per_bucket: int = 1,
+    mode: str = "cow",
+    segment_hwm: str | None = None,
+    max_commit_retries: int = 3,
+) -> dict:
+    """Apply one CDC microbatch with optimistic-concurrency retry: if
+    another writer wins the manifest CAS, re-read the new head and re-apply
+    (the loser's data files are orphans until vacuum). See
+    :func:`_apply_batch_once` for the merge itself."""
+    for attempt in range(max_commit_retries + 1):
+        try:
+            return _apply_batch_once(
+                lake, batch_df, batch_id, stream_id, files_per_bucket, mode,
+                segment_hwm,
+            )
+        except SnapshotConflict:
+            if attempt == max_commit_retries:
+                raise
+    raise AssertionError("unreachable")
+
+
+def _batch_watermark(pre) -> float | None:
+    """Observed max event ts → unix seconds (UTC; ts is naive/ntz)."""
+    import datetime as _dt
+
+    mt = pre.get("max_ts")
+    if mt is None:
+        return None
+    if mt.tzinfo is None:
+        mt = mt.replace(tzinfo=_dt.timezone.utc)
+    return mt.timestamp()
+
+
+def _apply_batch_once(
     lake: LakeTable,
     batch_df,
     batch_id: int,
@@ -149,6 +187,7 @@ def apply_batch(
         F.count(F.lit(1)).alias("n_raw"),
         F.sum(F.when(gate, 0).otherwise(1)).alias("n_gated_out"),
         F.max("lsn").alias("max_lsn"),
+        F.max("ts").alias("max_ts"),
     )
     have = set(batch_df.columns)
     env = batch_df.filter(gate).select(
@@ -177,13 +216,13 @@ def apply_batch(
     except Exception:
         # an empty batch runs zero tasks → no observed-metrics row; fall
         # back to a direct (trivial) count
-        pre = {"n_raw": batch_df.count(), "n_gated_out": 0, "max_lsn": 0}
+        pre = {"n_raw": batch_df.count(), "n_gated_out": 0, "max_lsn": 0, "max_ts": None}
     _t["a1_touched"] = time.time()
     if not touched:
         new_snap = lake.commit(
             snap, {}, {}, {}, stream_id, batch_id,
             {"batch_id": batch_id, "events_in": int(pre["n_raw"]), "empty_batch": True},
-            stream_hwm=segment_hwm,
+            stream_hwm=segment_hwm, watermark_ts=_batch_watermark(pre),
         )
         return {
             "batch_id": batch_id,
@@ -229,6 +268,7 @@ def apply_batch(
         new_snap = lake.commit(
             snap, replaced, {b: hwm for b in replaced}, {}, stream_id, batch_id,
             metrics, append=True, stream_hwm=segment_hwm,
+            watermark_ts=_batch_watermark(pre),
         )
         metrics["snapshot_id"] = new_snap["snapshot_id"]
         return metrics
@@ -292,6 +332,7 @@ def apply_batch(
         .agg(
             F.sum(F.col("_changed").cast("int")).alias("n_changed"),
             F.sum(F.when(~F.col("_del"), 1).otherwise(0)).alias("live_rows"),
+            F.sum(F.when(F.col("_del"), 1).otherwise(0)).alias("dead_rows"),
             F.sum("_n_events").alias("n_events"),
             F.max("_max_lsn").alias("hwm"),
         )
@@ -300,6 +341,7 @@ def apply_batch(
     _t["a2_skinny"] = time.time()
     changed_buckets = sorted(int(r[META_BUCKET]) for r in sk if r["n_changed"] > 0)
     bucket_rows = {int(r[META_BUCKET]): int(r["live_rows"]) for r in sk}
+    bucket_dead = {int(r[META_BUCKET]): int(r["dead_rows"]) for r in sk}
     bucket_hwm = {int(r[META_BUCKET]): int(r["hwm"]) for r in sk if r["hwm"] is not None}
 
     # ---- action 3: full-payload merge + write, changed buckets only ----------
@@ -374,6 +416,8 @@ def apply_batch(
         batch_id,
         metrics,
         stream_hwm=segment_hwm,
+        watermark_ts=_batch_watermark(pre),
+        bucket_tombstones={b: bucket_dead[b] for b in changed_buckets},
     )
     _t["commit"] = time.time()
     ks = list(_t)

@@ -1024,6 +1024,78 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q36_scd2_intervals(spark, sf_dir):
+    """SCD2 version intervals from a CDC feed (the reference's
+    effective_from/effective_to/is_current row versioning,
+    etl/bronze_to_silver.py:255-263, sql/ddl/01_create_dimensions.sql:78-81,
+    derived declaratively): per key, LWW-ordered events collapse into
+    versions at every payload change; effective_to = next version's
+    effective_from; the last version is current. Windows shuffle per key
+    with small per-key partitions — skew-safe. The lake's snapshot-lineage
+    variant is LakeTable.key_history (pytest-covered)."""
+    from .flagship import _as_cdc
+
+    ev = _as_cdc(load(spark, sf_dir, "events"))
+    w = W.partitionBy("conv_id", "turn_idx").orderBy(
+        F.coalesce(F.col("ts"), F.lit("1970-01-01").cast("timestamp")), "lsn"
+    )
+    changed = (
+        (F.row_number().over(w) == 1)
+        | ~F.col("role").eqNullSafe(F.lag("role").over(w))
+        | ~F.col("text").eqNullSafe(F.lag("text").over(w))
+        | ~F.col("op").eqNullSafe(F.lag("op").over(w))
+    )
+    vers = ev.withColumn("_chg", changed).filter(F.col("_chg"))
+    w2 = W.partitionBy("conv_id", "turn_idx").orderBy(
+        F.coalesce(F.col("ts"), F.lit("1970-01-01").cast("timestamp")), "lsn"
+    )
+    return vers.select(
+        "conv_id",
+        "turn_idx",
+        F.row_number().over(w2).cast("long").alias("version_no"),
+        "role",
+        "text",
+        (F.col("op") == "D").alias("deleted"),
+        F.col("ts").alias("effective_from"),
+        F.lead("ts").over(w2).alias("effective_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
+
+
+SQL_Q36 = """
+WITH ev AS (
+    SELECT CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+           event_id AS lsn,
+           CAST(user_id AS VARCHAR) AS conv_id,
+           CAST(event_id % 50 AS INT) AS turn_idx,
+           event_type AS role, props AS text, ts
+    FROM events),
+o AS (
+    SELECT *,
+           lag(role) OVER w AS p_role, lag(text) OVER w AS p_text,
+           lag(op) OVER w AS p_op,
+           row_number() OVER w AS rn
+    FROM ev
+    WINDOW w AS (PARTITION BY conv_id, turn_idx
+                 ORDER BY coalesce(ts, TIMESTAMP '1970-01-01'), lsn)),
+vers AS (
+    SELECT * FROM o
+    WHERE rn = 1
+       OR role IS DISTINCT FROM p_role
+       OR text IS DISTINCT FROM p_text
+       OR op IS DISTINCT FROM p_op)
+SELECT conv_id, turn_idx,
+       row_number() OVER w2 AS version_no,
+       role, text, (op = 'D') AS deleted,
+       ts AS effective_from,
+       lead(ts) OVER w2 AS effective_to,
+       (lead(ts) OVER w2 IS NULL) AS is_current
+FROM vers
+WINDOW w2 AS (PARTITION BY conv_id, turn_idx
+              ORDER BY coalesce(ts, TIMESTAMP '1970-01-01'), lsn)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1064,4 +1136,5 @@ REGISTRY: dict[str, tuple] = {
     "q33_union_distinct": (q33_union_distinct, SQL_Q33),
     "q34_pivot": (q34_pivot, SQL_Q34),
     "q35_percentiles": (q35_percentiles, SQL_Q35),
+    "q36_scd2_intervals": (q36_scd2_intervals, SQL_Q36),
 }

@@ -55,8 +55,17 @@ def cdc_replay(spark, sf_dir: str, n_batches: int = 3):
     root = tempfile.mkdtemp(prefix="cdc_replay_", dir=SCRATCH)
     lake = LakeTable.create(spark, root, EVENT_LAKE_SCHEMA, num_buckets=8)
     ev = _as_cdc(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    # contiguous lsn ranges, not pmod: each batch's scan prunes parquet row
+    # groups via event_id min/max stats instead of re-reading the whole file
+    # per batch (LWW is order-independent, so any split converges). The
+    # bounds probe reads one column.
+    lo, hi = ev.agg(F.min("lsn"), F.max("lsn")).first()
+    step = (int(hi) - int(lo)) // n_batches + 1
     for i in range(n_batches):
-        apply_batch(lake, ev.filter(F.pmod(F.col("lsn"), F.lit(n_batches)) == i), i)
+        lo_i, hi_i = int(lo) + i * step, int(lo) + (i + 1) * step
+        apply_batch(
+            lake, ev.filter((F.col("lsn") >= lo_i) & (F.col("lsn") < hi_i)), i
+        )
     return lake.read().select("conv_id", "turn_idx", "role", "text", "ts")
 
 

@@ -5,18 +5,25 @@ header, tab separator, quote/escape '\"', multiLine) — retained for initial
 loads of historical transcript dumps; the steady state is the WAL tail.
 
 A bulk load is expressed as a single CDC batch of inserts: every row gets
-``op='I'`` and a synthetic monotone ``lsn`` (file-order row number via
-``monotonically_increasing_id`` is NOT used — it is partition-dependent;
-instead lsn derives from a stable hash ordering so re-running the backfill
-is deterministic and idempotent under the row-hash no-op skip).
+``op='I'`` and a synthetic ``lsn`` derived from the natural key hash —
+deterministic across re-runs and partitionings (so a re-applied backfill
+no-op-skips) WITHOUT a global sort: a 100 TB backfill must not funnel
+through a single-partition ``row_number`` window (the W2 anti-pattern), and
+``monotonically_increasing_id`` is partition-dependent. Since the natural
+key is unique in a dump and every op is 'I', the lsn never tie-breaks
+within a key — it only needs determinism, not density or global order.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..schema import TRANSCRIPT_SCHEMA, conform
+
+#: backfill lsns occupy [base_lsn, base_lsn + LSN_SPAN); a live WAL feed
+#: applied on top must start at or above base_lsn + LSN_SPAN (the usual
+#: snapshot-then-binlog contract: the snapshot owns the low lsn range).
+LSN_SPAN = 1 << 40
 
 
 def read_csv_dump(spark, path: str, schema=None, sep: str = "\t", multiline: bool = True):
@@ -44,16 +51,16 @@ def read_json_dump(spark, path: str, schema=None):
 def as_backfill_batch(df, base_lsn: int = 0):
     """Wrap a raw transcript dump in the CDC envelope as one insert batch.
 
-    The lsn must be deterministic across re-runs and partitionings (so a
-    re-applied backfill no-op-skips): rank by the natural key, which is
-    unique post-dedup. Note the global window here is acceptable ONLY for
-    backfill (one-time, and Spark's range-partitioned sort distributes it);
-    the hot path never does this (SURVEY W2 anti-pattern avoided elsewhere).
+    The lsn is the natural-key hash folded into ``[base_lsn, base_lsn +
+    LSN_SPAN)`` — a pure per-row projection, no exchange, no window: the
+    plan stays embarrassingly parallel at any dump size. Cross-key lsn
+    collisions are harmless (LWW orders events *within* a key; backfill
+    keys are unique and all ops are 'I').
     """
     clean = conform(df, TRANSCRIPT_SCHEMA)
-    w = W.orderBy("conv_id", "turn_idx")
     return clean.withColumn(
-        "lsn", F.row_number().over(w).cast("long") + F.lit(base_lsn)
+        "lsn",
+        F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(LSN_SPAN)) + F.lit(base_lsn),
     ).select(
         F.lit("I").alias("op"),
         "lsn",

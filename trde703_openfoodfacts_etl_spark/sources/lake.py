@@ -34,6 +34,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -53,6 +54,10 @@ from ..schema import (
 
 MANIFEST_DIR = "manifests"
 DATA_DIR = "data"
+
+
+class SnapshotConflict(Exception):
+    """Another writer committed the same snapshot id first (CAS lost)."""
 
 
 def bucket_expr(num_buckets: int, col: str = "conv_id"):
@@ -101,7 +106,10 @@ class LakeTable:
                 "metrics": {},
                 "created_unix": time.time(),
             }
-            t._write_snapshot(snap)
+            try:
+                t._write_snapshot(snap)
+            except SnapshotConflict:
+                pass  # another writer initialized the table concurrently
         return t
 
     def _snap_path(self, sid: int) -> str:
@@ -126,16 +134,28 @@ class LakeTable:
             return json.load(f)
 
     def _write_snapshot(self, snap: dict) -> None:
-        """Atomic commit: temp write + rename. Single-writer protocol (the
-        streaming query owns the table); readers only ever see a fully
-        written manifest."""
+        """Atomic compare-and-swap commit: temp write + ``os.link`` onto the
+        target snapshot id. ``link`` (unlike ``rename``) fails with EEXIST if
+        the target already exists, so two writers racing to commit child
+        snapshots of the same parent cannot silently last-writer-win — the
+        loser gets :class:`SnapshotConflict` and retries against the new
+        head (see ``apply_batch``'s retry loop). Readers only ever see a
+        fully written manifest (the temp file is fsync'd before linking).
+        On an object store this maps to a conditional PUT / catalog CAS."""
         p = self._snap_path(snap["snapshot_id"])
-        tmp = p + ".tmp"
+        tmp = p + f".tmp.{os.getpid()}.{id(snap)}"
         with open(tmp, "w") as f:
             json.dump(snap, f)
             f.flush()
             os.fsync(f.fileno())
-        os.rename(tmp, p)
+        try:
+            os.link(tmp, p)
+        except FileExistsError:
+            raise SnapshotConflict(
+                f"snapshot {snap['snapshot_id']} already committed by another writer"
+            ) from None
+        finally:
+            os.unlink(tmp)
 
     # -- schema ------------------------------------------------------------
 
@@ -262,7 +282,12 @@ class LakeTable:
         yields one file per bucket per task."""
         import pyarrow.parquet as pq
 
-        rel_epoch = os.path.join(DATA_DIR, f"epoch={snapshot_id}")
+        # unique suffix: two writers racing toward the same child snapshot id
+        # must never share a data directory (the CAS on the manifest decides
+        # the winner; the loser's files stay orphaned until vacuum)
+        rel_epoch = os.path.join(
+            DATA_DIR, f"epoch={snapshot_id}-{uuid.uuid4().hex[:8]}"
+        )
         out = os.path.join(self.root, rel_epoch)
         writer = df
         if not pre_partitioned:
@@ -312,6 +337,8 @@ class LakeTable:
         metrics: dict,
         append: bool = False,
         stream_hwm: str | None = None,
+        watermark_ts: float | None = None,
+        bucket_tombstones: dict[int, int] | None = None,
     ) -> dict:
         """Produce + atomically write the child snapshot: replace (COW) or
         append (MOR delta) file lists for written buckets, bump per-bucket
@@ -335,6 +362,7 @@ class LakeTable:
                 "files": files,
                 "hwm_lsn": int(bucket_hwm.get(b, bks.get(str(b), {}).get("hwm_lsn", 0))),
                 "rows": int(bucket_rows.get(b, 0)),
+                "tombstones": int((bucket_tombstones or {}).get(b, 0)),
             }
         for b, hwm in bucket_hwm.items():
             if str(b) in bks and b not in replaced_buckets:
@@ -347,6 +375,14 @@ class LakeTable:
             # WAL listing has grown since (positional re-slicing is unsafe)
             new["stream_hwm"] = dict(
                 snap.get("stream_hwm", {}), **{stream_id: stream_hwm}
+            )
+        if watermark_ts is not None:
+            # event-time watermark (max event ts ever applied): the tombstone
+            # GC horizon derives from it (Structured Streaming watermark
+            # semantics — an event older than watermark - lateness is late
+            # beyond tolerance and may no longer resurrect a GC'd key)
+            new["watermark_ts"] = max(
+                float(snap.get("watermark_ts") or 0.0), float(watermark_ts)
             )
         new["metrics"] = metrics
         new["created_unix"] = time.time()
@@ -387,23 +423,172 @@ class LakeTable:
             return None
         return self.compact(buckets=todo, files_per_bucket=files_per_bucket)
 
+    def watermark_ts(self, snap: dict | None = None) -> float:
+        """Max event-time (unix seconds) ever applied to the table."""
+        snap = snap or self.snapshot()
+        return float(snap.get("watermark_ts") or 0.0)
+
+    def gc_tombstones(
+        self,
+        allowed_lateness_sec: float,
+        files_per_bucket: int = 1,
+    ) -> dict | None:
+        """Retention-policy tombstone GC, driven by the manifest watermark.
+
+        A tombstone must outlive every event that could still lose to it:
+        under LWW order (event_ts, lsn), that is any late event with an
+        older ts. Once the table watermark (max applied event ts) has moved
+        ``allowed_lateness_sec`` past a tombstone's ts, such an event is
+        late beyond tolerance (same contract as a streaming watermark) and
+        the tombstone can go. Buckets are selected from manifest tombstone
+        counts — no scan; returns the new snapshot, or None if nothing to do.
+        """
+        snap = self.snapshot()
+        horizon = self.watermark_ts(snap) - allowed_lateness_sec
+        if horizon <= 0:
+            return None
+        todo = [
+            int(b)
+            for b, binfo in snap["buckets"].items()
+            if binfo.get("delta") or (binfo.get("tombstones") or 0) > 0
+        ]
+        if not todo:
+            return None
+        return self.compact(
+            buckets=todo,
+            files_per_bucket=files_per_bucket,
+            drop_tombstones_ts_before=horizon,
+            include_non_delta=True,
+        )
+
+    # -- SCD2 / history ------------------------------------------------------
+
+    def snapshot_lineage(self) -> list[dict]:
+        """Snapshot chain root → latest (parent pointers, time travel axis)."""
+        chain = [self.snapshot()]
+        while chain[-1]["parent"] is not None:
+            chain.append(self.snapshot(chain[-1]["parent"]))
+        return list(reversed(chain))
+
+    def key_history(self, conv_id: str, turn_idx: int):
+        """Per-key SCD2 version history across the snapshot lineage.
+
+        The reference tracks row versions with effective_from/effective_to/
+        is_current (etl/bronze_to_silver.py:255-263,
+        sql/ddl/01_create_dimensions.sql:78-81); this lake derives the same
+        lineage from its snapshots instead of storing it per row. Manifest
+        pruning twice over: only the key's bucket is read, and only at
+        snapshots where that bucket's file list actually changed (unchanged
+        bucket ⇒ unchanged version). One Spark job (a union over the changed
+        snapshots); interval stitching is driver-side over ≤ lineage-length
+        rows. Returns a DataFrame: one row per distinct version with
+        valid_from/valid_to snapshot ids + commit times and is_current.
+        """
+        chain = self.snapshot_lineage()
+        # the key's bucket: same xxhash64-pmod the engine writes with
+        b = (
+            self.spark.createDataFrame([(conv_id,)], "c string")
+            .select(bucket_expr(chain[0]["num_buckets"], col="c").alias("b"))
+            .first()["b"]
+        )
+        reads = []
+        prev_files = object()
+        for snap in chain:
+            entry = snap["buckets"].get(str(b), {})
+            files = tuple(fe["path"] for fe in entry.get("files", []))
+            if files == prev_files:
+                continue
+            prev_files = files
+            df = self.read(
+                snap=snap, buckets=[b], include_deleted=True, with_meta=True
+            ).filter(
+                (F.col("conv_id") == conv_id) & (F.col("turn_idx") == turn_idx)
+            )
+            reads.append(
+                df.withColumn("_snapshot_id", F.lit(snap["snapshot_id"]))
+                .withColumn("_committed_unix", F.lit(float(snap["created_unix"])))
+            )
+        user = self.user_schema(chain[-1])
+        out_schema = T.StructType(
+            list(user.fields)
+            + [
+                T.StructField(META_LSN, T.LongType(), True),
+                T.StructField(META_DELETED, T.BooleanType(), True),
+                T.StructField("valid_from_snapshot", T.LongType(), True),
+                T.StructField("valid_from_unix", T.DoubleType(), True),
+                T.StructField("valid_to_snapshot", T.LongType(), True),
+                T.StructField("valid_to_unix", T.DoubleType(), True),
+                T.StructField("is_current", T.BooleanType(), True),
+            ]
+        )
+        if not reads:
+            return self.spark.createDataFrame([], out_schema)
+        allv = reads[0]
+        for r in reads[1:]:
+            allv = allv.unionByName(r)
+        rows = sorted(allv.collect(), key=lambda r: r["_snapshot_id"])
+        # stitch: a new version starts when the row hash / deleted flag flips
+        versions: list[dict] = []
+        prev_key = object()
+        for r in rows:
+            cur_key = (r[META_ROW_HASH], bool(r[META_DELETED]))
+            if cur_key != prev_key:
+                if versions:
+                    versions[-1]["valid_to_snapshot"] = r["_snapshot_id"]
+                    versions[-1]["valid_to_unix"] = r["_committed_unix"]
+                d = r.asDict()
+                versions.append(
+                    {
+                        **{k: d.get(k) for k in [f.name for f in user.fields]},
+                        META_LSN: d.get(META_LSN),
+                        META_DELETED: bool(d.get(META_DELETED) or False),
+                        "valid_from_snapshot": d["_snapshot_id"],
+                        "valid_from_unix": d["_committed_unix"],
+                        "valid_to_snapshot": None,
+                        "valid_to_unix": None,
+                    }
+                )
+                prev_key = cur_key
+        for v in versions:
+            v["is_current"] = v["valid_to_snapshot"] is None
+        data = [tuple(v[f.name] for f in out_schema.fields) for v in versions]
+        return self.spark.createDataFrame(data, out_schema)
+
+    def read_asof(self, as_of_unix: float, **read_kwargs):
+        """Table state as of a wall-clock time: the latest snapshot whose
+        commit time ≤ ``as_of_unix`` (reference SCD2 'AS OF' reads over
+        effective_from/effective_to, sql/ddl/01_create_dimensions.sql:78-81)."""
+        best = None
+        for snap in self.snapshot_lineage():
+            if float(snap["created_unix"]) <= as_of_unix:
+                best = snap
+        if best is None:
+            raise ValueError(f"no snapshot committed at or before {as_of_unix}")
+        return self.read(snap=best, **read_kwargs)
+
     def compact(
         self,
         buckets: list[int] | None = None,
         files_per_bucket: int = 1,
         drop_tombstones_below_lsn: int | None = None,
+        drop_tombstones_ts_before: float | None = None,
+        include_non_delta: bool = False,
     ) -> dict:
         """Merge-on-read compaction: rewrite delta-carrying buckets into a
         single resolved generation (LWW applied once). Tombstones are
-        retained by default — they keep late zombies out. Once the source
-        guarantees no event below an LSN can still arrive (e.g. WAL
-        retention horizon), ``drop_tombstones_below_lsn`` garbage-collects
-        tombstones older than that watermark. Returns the new snapshot."""
+        retained by default — they keep late zombies out. GC knobs:
+        ``drop_tombstones_below_lsn`` (WAL retention horizon — no event
+        below that position can still arrive) and
+        ``drop_tombstones_ts_before`` (event-time watermark horizon — see
+        :meth:`gc_tombstones`). ``include_non_delta`` lets the GC rewrite
+        already-compacted buckets that still carry old tombstones.
+        Returns the new snapshot."""
         snap = self.snapshot()
         todo = [
             int(b)
             for b, binfo in snap["buckets"].items()
-            if binfo.get("delta") and (buckets is None or int(b) in buckets)
+            if (binfo.get("delta") or include_non_delta)
+            and (buckets is None or int(b) in buckets)
         ]
         if not todo:
             return snap
@@ -414,22 +599,32 @@ class LakeTable:
             resolved = resolved.filter(
                 ~(F.col(META_DELETED) & (F.col(META_LSN) < drop_tombstones_below_lsn))
             )
+        if drop_tombstones_ts_before is not None:
+            ts_unix = F.coalesce(
+                F.col("ts").cast("timestamp_ltz").cast("double"), F.lit(0.0)
+            )
+            resolved = resolved.filter(
+                ~(F.col(META_DELETED) & (ts_unix < drop_tombstones_ts_before))
+            )
         written = self.write_bucket_files(
             resolved, snap["snapshot_id"] + 1, snap["schema_id"], files_per_bucket
         )
         # buckets whose resolved state is empty (e.g. everything tombstoned
-        # and GC'd) still replace their delta files — with an empty list
+        # and GC'd) still replace their file lists — with an empty list
         replaced = {b: written.get(b, []) for b in todo}
         stats = (
             resolved.groupBy(META_BUCKET)
             .agg(
                 F.sum(F.when(~F.col(META_DELETED), 1).otherwise(0)).alias("live"),
+                F.sum(F.when(F.col(META_DELETED), 1).otherwise(0)).alias("dead"),
                 F.max(META_LSN).alias("hwm"),
             )
             .collect()
         )
         rows = {int(r[META_BUCKET]): int(r["live"]) for r in stats}
         rows = {b: rows.get(b, 0) for b in todo}
+        dead = {int(r[META_BUCKET]): int(r["dead"]) for r in stats}
+        dead = {b: dead.get(b, 0) for b in todo}
         hwm = {
             b: max(
                 next((int(r["hwm"]) for r in stats if int(r[META_BUCKET]) == b), 0),
@@ -441,6 +636,7 @@ class LakeTable:
             snap, replaced, hwm, rows, "compaction",
             self.last_batch_id("compaction", snap) + 1,
             {"compacted_buckets": todo},
+            bucket_tombstones=dead,
         )
         return new
 
