@@ -21,6 +21,7 @@ dropDuplicates, SURVEY.md §2.4 A5; these generalize to content dedup.)
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint_expr, simhash64
@@ -40,34 +41,49 @@ def exact_duplicates(df, text_col: str = "text", id_col: str = "doc_id"):
 
 
 def word_shingles(col, n: int = 3):
-    """Distinct word n-grams as an array column — pure higher-order fns:
-    split → transform over index range → array_distinct. Codegen'd."""
+    """Distinct word n-grams as an array column — pure higher-order fns.
+
+    The tokenization is bound ONCE into a lambda scope
+    (``transform(array(toks), t -> ...)``): Catalyst does not
+    common-subexpression-eliminate through lambda functions, so referencing
+    the split/regexp expression directly inside the per-index gram lambda
+    re-tokenizes the document once per gram — O(len²) regex work per row
+    (measured 7s for 5k docs; ~50× the bound-variable form)."""
+
+    def shingles_of(t):
+        cnt = F.size(t)
+        idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+        gram = lambda i: F.concat_ws(" ", F.slice(t, i + 1, n))  # noqa: E731
+        return F.when(cnt < n, F.array(F.concat_ws(" ", t))).otherwise(
+            F.array_distinct(F.transform(idx, gram))
+        )
+
     toks = F.split(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "), " ")
-    cnt = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
-    gram = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))  # noqa: E731
-    return F.when(cnt < n, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.array_distinct(F.transform(idx, gram))
-    )
+    return F.element_at(F.transform(F.array(toks), shingles_of), 1)
 
 
 def ngram_jaccard_pairs(df, text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, threshold: float = 0.8,
-                        max_doc_freq: int | None = None):
-    """All pairs with word-n-gram Jaccard ≥ threshold.
+                        max_doc_freq: int | None = None,
+                        prefix_filter: bool = True):
+    """All pairs with word-n-gram Jaccard ≥ threshold. EXACT output.
 
-    Inverted-index shape: explode shingles → self-join on shingle →
-    count common shingles per pair → |A∩B| / (|A|+|B|-|A∩B|). The join key
-    is a single shingle hash (long), so the shuffle carries ids+hashes only.
+    Scale shape = prefix-filtered similarity join (Bayardo et al. AllPairs /
+    SSJoin): rank each document's shingles by ascending global document
+    frequency and index only the first ``floor((1-t)·|A|) + 1`` of them —
+    if two sets share NO shingle in either prefix, their Jaccard is provably
+    < t (pigeonhole on the overlap needed for J ≥ t), so the filter is
+    LOSSLESS. Candidates therefore collide only on *rare* shingles: the
+    quadratic posting-list blowup on hot boilerplate shingles disappears
+    without giving up exactness. Candidates are then verified with the
+    exact Jaccard via one shingle-array join. A length filter
+    (t·|B| ≤ |A|) prunes mismatched sizes before verification.
 
-    ``max_doc_freq`` drops shingles appearing in more than that many
-    documents *before* the self-join — standard inverted-index stopword
-    pruning. Without it, one hot shingle (boilerplate, a common phrase)
-    produces a quadratic posting-list blowup at corpus scale; with it the
-    candidate fanout per shingle is bounded by max_doc_freq². |A∩B| then
-    undercounts intersections that run through dropped shingles, so the
-    reported jaccard is a lower bound (near-dup pairs share many
-    *low-frequency* shingles, so the bound is tight where it matters).
+    ``max_doc_freq`` optionally also drops ultra-hot shingles from the
+    *verification-independent* candidate index (approximation; off by
+    default — the prefix filter already bounds hot-shingle fanout).
+    ``prefix_filter=False`` falls back to the plain inverted-index join
+    (useful for tiny corpora / debugging).
     """
     sh = df.select(
         F.col(id_col).alias("_id"),
@@ -84,17 +100,53 @@ def ngram_jaccard_pairs(df, text_col: str = "text", id_col: str = "doc_id",
             .select("_gh")
         )
         ex = ex.join(keep, "_gh")
+    if prefix_filter:
+        dfreq = ex.groupBy("_gh").agg(F.count(F.lit(1)).alias("_df"))
+        wdoc = W.partitionBy("_id").orderBy("_df", "_gh")
+        prefix_len = F.floor((1.0 - threshold) * F.col("_size")).cast("int") + 1
+        ex = (
+            ex.join(dfreq, "_gh")
+            .withColumn("_rk", F.row_number().over(wdoc))
+            .filter(F.col("_rk") <= prefix_len)
+            .select("_id", "_size", "_gh")
+        )
     a = ex.select(F.col("_id").alias("id_a"), F.col("_size").alias("size_a"), "_gh")
     b = ex.select(F.col("_id").alias("id_b"), F.col("_size").alias("size_b"), "_gh")
-    common = (
+    cand = (
         a.join(b, "_gh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "size_a", "size_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # length filter: J ≥ t needs t·max(|A|,|B|) ≤ min(|A|,|B|)
+            & (F.least("size_a", "size_b")
+               >= threshold * F.greatest("size_a", "size_b"))
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
-    jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+    if not prefix_filter:
+        # plain mode: every common shingle is indexed, count directly
+        common = (
+            a.join(b, "_gh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b", "size_a", "size_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        jac = F.col("n_common") / (
+            F.col("size_a") + F.col("size_b") - F.col("n_common")
+        )
+        return (
+            common.withColumn("jaccard", F.round(jac, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+    sa = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    sb = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
     return (
-        common.withColumn("jaccard", F.round(jac, 6))
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

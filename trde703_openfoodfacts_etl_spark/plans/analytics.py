@@ -547,15 +547,16 @@ SELECT probe_id, rank, neighbor_id FROM r WHERE rank <= 5
 
 
 def q21_ngram_jaccard(spark, sf_dir):
-    """Word-3-gram Jaccard near-dup pairs (inverted-index join,
-    operators/dedup.py) at a real threshold, with document-frequency capped
-    shingles: a shingle occurring in > 128 docs is boilerplate and would
-    fan out quadratically at corpus scale, so it is pruned from the
-    posting lists (the oracle mirrors the cap exactly)."""
+    """Word-3-gram Jaccard similarity join at threshold 0.5 via LOSSLESS
+    prefix filtering (operators/dedup.py ngram_jaccard_pairs): each doc
+    indexes only its floor((1-t)·|A|)+1 rarest shingles, so candidates
+    collide on rare shingles only — the hot-boilerplate quadratic blowup is
+    gone and the output is still exactly all pairs with J ≥ t (the oracle
+    computes the unfiltered exact join)."""
     from ..operators.dedup import ngram_jaccard_pairs
 
     d = load(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, threshold=0.5, max_doc_freq=128).select(
+    return ngram_jaccard_pairs(d, threshold=0.5).select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     )
 
@@ -568,9 +569,7 @@ sh AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
         ELSE list_distinct(list_transform(range(1, len(w)-1),
                                           i -> array_to_string(w[i:i+2], ' '))) END AS s
     FROM toks),
-ex0 AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
-keep AS (SELECT g FROM ex0 GROUP BY g HAVING count(*) <= 128),
-ex AS (SELECT ex0.* FROM ex0 JOIN keep USING (g)),
+ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
 pairs AS (SELECT a.doc_id id_a, b.doc_id id_b, a.sz sa, b.sz sb, count(*) nc
           FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
           GROUP BY 1, 2, 3, 4)
@@ -768,8 +767,8 @@ FROM s GROUP BY 1
 
 
 def q27_fingerprint(spark, sf_dir):
-    """Winnowing-style document fingerprints: min md5 over character 8-grams
-    of the normalized text — a pure codegen expression (functions/text.py
+    """Winnowing-style document fingerprints: min md5 over word 3-grams of
+    the normalized text — a pure codegen expression (functions/text.py
     mingram_fingerprint_expr), portable to the SQL oracle because the md5
     hex-string min is engine-independent (the Karp-Rabin numeric variant
     stays in the library for production use; its uint64 wrap semantics
@@ -789,14 +788,16 @@ def q27_fingerprint(spark, sf_dir):
 
 
 SQL_Q27 = """
-WITH f AS (
-    SELECT list_aggregate(
-               list_transform(
-                   range(1, greatest(length(regexp_replace(lower(trim(text)),
-                                                           '\\s+', ' ', 'g')) - 7, 1) + 1),
-                   i -> md5(substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), i, 8))),
-               'min') AS fp
+WITH toks AS (SELECT doc_id,
+        string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
     FROM documents),
+f AS (
+    SELECT list_aggregate(
+               CASE WHEN len(w) < 3 THEN [md5(array_to_string(w, ' '))]
+                    ELSE list_transform(range(1, len(w)-1),
+                                        i -> md5(array_to_string(w[i:i+2], ' ')))
+               END, 'min') AS fp
+    FROM toks),
 g AS (SELECT fp, count(*) AS n FROM f GROUP BY fp)
 SELECT count(*) AS distinct_fps, max(n) AS max_collisions FROM g
 """
