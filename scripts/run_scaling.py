@@ -56,7 +56,8 @@ def gen_input(events: int) -> str:
 
 
 def submit(cores: int, wal: str, zpath: str, tag: str, normalize: bool = True,
-           pin_cpus: bool = False, master: str | None = None) -> dict:
+           pin_cpus: bool = False, master: str | None = None,
+           mode: str = "cow", batches: int = 2) -> dict:
     lake = os.path.join(SCRATCH, f"lake_{tag}")
     shutil.rmtree(lake, ignore_errors=True)
     out = os.path.join(SCRATCH, f"result_{tag}.json")
@@ -86,7 +87,8 @@ def submit(cores: int, wal: str, zpath: str, tag: str, normalize: bool = True,
         # plenty of small shuffle partitions at every level: per-task hash
         # maps stay bounded (no spill cliff at high concurrency) and AQE
         # coalesces the excess at runtime
-        "--batches", "2", "--shuffle-partitions", "64",
+        "--batches", str(batches), "--shuffle-partitions", "64",
+        "--mode", mode,
         "--warmup", "--out", out,
     ] + (["--normalize"] if normalize else [])
     subprocess.run(cmd, check=True, capture_output=True, text=True)
@@ -102,6 +104,11 @@ def main() -> None:
     ap.add_argument("--pin-cpus", action="store_true",
                     help="taskset the JVM to exactly N / 4N CPUs (container-"
                          "style resource budget)")
+    ap.add_argument("--mode", choices=["cow", "mor"], default="cow")
+    ap.add_argument("--batches", type=int, default=2)
+    ap.add_argument("--json-out", default=None,
+                    help="write results JSON here instead of regenerating "
+                         "BENCH/BASELINE.md (keeps a hand-curated baseline)")
     ap.add_argument("--standalone", action="store_true",
                     help="run against a real local Spark standalone cluster: "
                          "N / 4N single-core worker JVMs, each pinned to its "
@@ -119,8 +126,10 @@ def main() -> None:
 
             with StandaloneCluster(n) as cluster:
                 return submit(n, wal, zpath, tag, normalize=norm,
-                              master=cluster.master_url)
-        return submit(n, wal, zpath, tag, normalize=norm, pin_cpus=args.pin_cpus)
+                              master=cluster.master_url,
+                              mode=args.mode, batches=args.batches)
+        return submit(n, wal, zpath, tag, normalize=norm, pin_cpus=args.pin_cpus,
+                      mode=args.mode, batches=args.batches)
 
     lo = run_level(args.n, f"n{args.n}")
     hi = run_level(args.n * 4, f"n{args.n * 4}")
@@ -128,6 +137,14 @@ def main() -> None:
 
     eff = (hi["events_per_sec"] / lo["events_per_sec"]) / 4.0
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump({"lo": lo, "hi": hi, "efficiency": round(eff, 3),
+                       "mode": args.mode, "events": args.events, "n": args.n,
+                       "form": ("standalone" if args.standalone
+                                else "pinned" if args.pin_cpus else "local")}, f)
+        print(json.dumps({"lo": lo, "hi": hi, "efficiency": round(eff, 3)}))
+        return
     if args.standalone:
         pin_note = (
             f"Runs against a REAL local Spark standalone cluster: {args.n} / "
