@@ -1,0 +1,119 @@
+"""Semantics tests for the temporal join operators (operators/asof.py) and
+the embedding near-dup pair operator: hand-built inputs with known answers,
+independent of the DuckDB-oracle gates in test_entry."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from trde703_openfoodfacts_etl_spark.operators.asof import asof_join, interval_join  # noqa: E402
+from trde703_openfoodfacts_etl_spark.operators.similarity import cosine_neardup_pairs  # noqa: E402
+
+
+def _ts(sec: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+
+def _left(spark):
+    return spark.createDataFrame(
+        [("k1", _ts(1), 100), ("k1", _ts(5), 101), ("k1", _ts(10), 102),
+         ("k2", _ts(3), 103),  # key with no right rows at/before
+         ("k3", _ts(9), 104)],  # key entirely absent on the right
+        "key string, ts timestamp, ev int",
+    )
+
+
+def _right(spark):
+    return spark.createDataFrame(
+        [("k1", _ts(0), "s0"), ("k1", _ts(5), "s5"), ("k1", _ts(7), "s7"),
+         ("k2", _ts(8), "s8")],
+        "key string, rts timestamp, state string",
+    )
+
+
+def test_asof_inclusive(spark):
+    out = asof_join(_left(spark), _right(spark), on="key", left_ts="ts", right_ts="rts")
+    got = {(r.key, r.ev): r.state for r in out.collect()}
+    assert got == {
+        ("k1", 100): "s0",   # ts=1 -> right ts=0
+        ("k1", 101): "s5",   # ts=5 -> inclusive: sees right row AT 5
+        ("k1", 102): "s7",   # ts=10 -> latest at 7
+        ("k2", 103): None,   # right row exists but only at ts=8 > 3
+        ("k3", 104): None,   # no right rows for key
+    }
+    assert out.count() == 5  # left-outer: every left row exactly once
+
+
+def test_asof_strict(spark):
+    out = asof_join(
+        _left(spark), _right(spark), on="key", left_ts="ts", right_ts="rts", strict=True
+    )
+    got = {(r.key, r.ev): r.state for r in out.collect()}
+    assert got[("k1", 101)] == "s0"  # strict: row AT ts=5 not visible
+
+
+def test_asof_preserves_left_columns(spark):
+    out = asof_join(_left(spark), _right(spark), on="key", left_ts="ts", right_ts="rts")
+    assert set(out.columns) == {"key", "ts", "ev", "state"}
+
+
+def test_interval_join_exact_once(spark):
+    # interval longer than the bucket: the pair must still appear exactly once
+    left = spark.createDataFrame(
+        [(1, _ts(50)), (2, _ts(150)), (3, _ts(250)), (4, _ts(9999))],
+        "event_id int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, _ts(40), _ts(260)),    # spans 3 buckets at bucket=100s, catches 1,2,3
+         (20, _ts(149), _ts(151)),   # catches only 2
+         (30, _ts(300), _ts(400))],  # catches nothing
+        "iv_id int, start timestamp, fin timestamp",
+    )
+    out = interval_join(left, right, "ts", "start", "fin", bucket_seconds=100)
+    pairs = sorted((r.event_id, r.iv_id) for r in out.collect())
+    assert pairs == [(1, 10), (2, 10), (2, 20), (3, 10)]
+
+
+def test_interval_join_inclusive_bounds(spark):
+    left = spark.createDataFrame([(1, _ts(100)), (2, _ts(200))], "event_id int, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, _ts(100), _ts(200))], "iv_id int, start timestamp, fin timestamp"
+    )
+    out = interval_join(left, right, "ts", "start", "fin", bucket_seconds=50)
+    assert out.count() == 2  # both endpoints inclusive
+
+
+def test_cosine_neardup_blocked(spark):
+    rows = [
+        (1, [1.0, 0.0], "a"),
+        (2, [1.0, 0.01], "a"),   # ~parallel to 1, same block -> pair
+        (3, [0.0, 1.0], "a"),    # orthogonal -> no pair
+        (4, [1.0, 0.0], "b"),    # parallel to 1 but different block -> excluded
+        (5, [1.0, 0.0], "b"),
+        (6, [1.0, 0.02], "b"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    out = cosine_neardup_pairs(df, threshold=0.99, block_col="label")
+    pairs = sorted((r.id_a, r.id_b) for r in out.collect())
+    assert pairs == [(1, 2), (4, 5), (4, 6), (5, 6)]
+    # unblocked cross-join baseline finds the cross-block pair too
+    out_all = cosine_neardup_pairs(df, threshold=0.99, block_col=None)
+    assert (1, 4) in {(r.id_a, r.id_b) for r in out_all.collect()}
+
+
+def test_interval_join_plan_has_no_nested_loop(spark):
+    left = spark.createDataFrame([(1, _ts(50))], "event_id int, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, _ts(40), _ts(60))], "iv_id int, start timestamp, fin timestamp"
+    )
+    plan = (
+        interval_join(left, right, "ts", "start", "fin", bucket_seconds=100)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan, plan

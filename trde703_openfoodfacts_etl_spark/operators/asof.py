@@ -1,0 +1,129 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and interval join.
+
+Both are implemented as compositions of existing DataFrame ops (the brief's
+preferred path for custom operators) — no UDFs, no nested-loop joins, no
+driver-side iteration — so Catalyst/AQE keep optimizing around them.
+
+As-of join (each left row matched to the latest right row with
+``right_ts <= left_ts`` for the same key) is the classic point-in-time
+lookup the reference's SCD2 dimension reads answer via
+``effective_from/effective_to`` scans (etl/bronze_to_silver.py:255-263);
+here it is a single union + per-key window — **one shuffle on the key**,
+never a join explosion:
+
+    union(left tagged 1, right tagged 0)
+      -> window partitionBy(key) orderBy(ts, side) rows unbounded preceding
+      -> last(right_payload, ignoreNulls) carries the as-of state forward
+      -> keep left rows
+
+At 100 TB this is shuffle-optimal: volume is |left| + |right| rows exactly
+once, partitioned by key; a sort-merge or broadcast as-of would still need
+the same exchange plus an O(matches) join. Hot keys cost O(key size) in one
+task — for pathological single-key skew, pre-bucket by (key, time-range)
+and as-of within buckets carrying the last state of the previous bucket.
+
+Interval join (left.ts ∈ [right.start, right.end], **no equi key**) would
+fall to BroadcastNestedLoopJoin in vanilla Spark — O(|L|·|R|) comparisons.
+The bucketed form turns it into an equi-join: explode each right interval
+into the fixed-width time buckets it covers, bucket each left timestamp,
+join on the bucket, then apply the exact range predicate. Work becomes
+O(pairs sharing a bucket) and shuffles hash-partition on the bucket — the
+standard overlap-join technique (also how range-join hints work in
+closed-source Spark forks). Each qualifying pair appears exactly once
+(the left row lives in exactly one bucket), so no dedup pass is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+_SIDE = "__asof_side"
+_TS = "__asof_ts"
+
+
+def asof_join(
+    left,
+    right,
+    on: list[str] | str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str] | None = None,
+    strict: bool = False,
+):
+    """For every left row, attach the latest right row with
+    ``right[right_ts] <= left[left_ts]`` (``<`` when ``strict``) sharing the
+    key columns ``on``. Right payload columns are null when no right row
+    precedes the left row (left-outer as-of semantics, matching DuckDB's
+    ``LEFT ASOF JOIN``).
+
+    ``right`` must be unique per (key, right_ts) — dedupe upstream if not,
+    or the carried row among ties is unspecified.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if payload_cols is None:
+        payload_cols = [c for c in right.columns if c not in set(keys) | {right_ts}]
+
+    l_tagged = left.withColumn(_SIDE, F.lit(1)).withColumn(
+        _TS, F.col(left_ts).cast("timestamp")
+    )
+    # Left rows carry null payload slots; right rows carry only key+payload.
+    for c in payload_cols:
+        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    r_tagged = (
+        right.withColumn(_SIDE, F.lit(0))
+        .withColumn(_TS, F.col(right_ts).cast("timestamp"))
+        .select(*keys, _SIDE, _TS, *payload_cols)
+    )
+    for c in left.columns:
+        if c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    cols = l_tagged.columns
+    u = l_tagged.select(cols).unionByName(r_tagged.select(cols))
+
+    # Inclusive: a right row at the same ts is visible to the left row
+    # (side 0 sorts before side 1). Strict: left sorts first.
+    order = [F.col(_TS).asc(), F.col(_SIDE).asc() if not strict else F.col(_SIDE).desc()]
+    w = W.partitionBy(*keys).orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    filled = u.select(
+        *[c for c in cols if c not in payload_cols],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload_cols],
+    )
+    return filled.filter(F.col(_SIDE) == 1).drop(_SIDE, _TS)
+
+
+def interval_join(
+    left,
+    right,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: int = 7 * 86400,
+):
+    """Join left rows to right intervals containing them
+    (``right_start <= left_ts <= right_end``) with NO equi key, via
+    fixed-width time bucketing. Returns the joined pairs (all columns of
+    both inputs); each qualifying pair appears exactly once.
+
+    ``bucket_seconds`` should be on the order of the typical interval
+    length: too small explodes right rows into many buckets, too large
+    packs unrelated rows into one bucket. Both misconfigurations are
+    correct, just slower.
+    """
+    b = F.lit(bucket_seconds)
+    l_b = left.withColumn(
+        "__bucket", F.floor(F.col(left_ts).cast("timestamp").cast("double") / b)
+    )
+    r_b = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_start).cast("timestamp").cast("double") / b),
+                F.floor(F.col(right_end).cast("timestamp").cast("double") / b),
+            )
+        ),
+    )
+    joined = l_b.join(r_b, "__bucket").filter(
+        (F.col(left_ts) >= F.col(right_start)) & (F.col(left_ts) <= F.col(right_end))
+    )
+    return joined.drop("__bucket")

@@ -59,6 +59,39 @@ def synth_media(spark, n: int = 64, seed: int = 42):
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def media_from_documents(docs, payload_chars: int = 2048):
+    """Derive a deterministic media table FROM the documents table — the
+    oracle-able variant of :func:`synth_media`: every column is a pure
+    Spark-native expression of (doc_id, text), so an independent SQL engine
+    can reproduce the exact same table and verify the decode output.
+
+    payload = UTF-8 bytes of the ASCII-stripped text (an opaque stand-in
+    for real image/audio bytes); kind/width/height/duration are arithmetic
+    on doc_id. The decode path downstream treats payload as opaque bytes —
+    the mapInPandas plumbing is identical to the real-codec case.
+    """
+    ascii_text = F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), r"[^\x20-\x7e]", "")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.element_at(
+            F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4")),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("mime"),
+        F.when(kind != "audio", (F.lit(64) + F.pmod(F.col("doc_id") * 7, F.lit(1856))).cast("int"))
+        .alias("width"),
+        F.when(kind != "audio", (F.lit(64) + F.pmod(F.col("doc_id") * 13, F.lit(1016))).cast("int"))
+        .alias("height"),
+        F.when(kind != "image", (F.lit(1000) + F.pmod(F.col("doc_id") * 17, F.lit(59000))).cast("int"))
+        .alias("duration_ms"),
+        F.encode(F.substring(ascii_text, 1, payload_chars), "UTF-8").alias("payload"),
+    )
+
+
 def _decode_image_stub(payload: bytes, width, height) -> np.ndarray:
     """STUB: real impl would be PIL/opencv decode. Deterministic fake:
     payload bytes tiled into a (8, 8, 3) uint8 'thumbnail'."""
@@ -78,18 +111,27 @@ def decode_features(df, batch_size_hint: int = 256):
             T.StructField("media_id", T.LongType(), False),
             T.StructField("kind", T.StringType(), False),
             T.StructField("feat", T.ArrayType(T.FloatType()), True),
+            # exact-integer feature (sum of the first 192 payload bytes):
+            # float-free, so an external oracle can verify the decode path
+            # bit-for-bit
+            T.StructField("byte_sum", T.LongType(), True),
         ]
     )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
+            byte_sums = []
             for payload, kind, w, h in zip(
                 pdf["payload"], pdf["kind"], pdf["width"], pdf["height"]
             ):
                 if payload is None:
                     feats.append(None)
+                    byte_sums.append(None)
                     continue
+                byte_sums.append(
+                    int(np.frombuffer(payload[:192], dtype=np.uint8).sum())
+                )
                 if kind == "image":
                     thumb = _decode_image_stub(payload, w, h)
                     f = thumb.mean(axis=(0, 1)).tolist() + thumb.std(axis=(0, 1)).tolist()
@@ -100,7 +142,12 @@ def decode_features(df, batch_size_hint: int = 256):
                     f = arr.astype(np.float32).reshape(16, 4).mean(axis=1).tolist()
                 feats.append([float(x) for x in f])
             yield pd.DataFrame(
-                {"media_id": pdf["media_id"], "kind": pdf["kind"], "feat": feats}
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "feat": feats,
+                    "byte_sum": pd.array(byte_sums, dtype="Int64"),
+                }
             )
 
     return df.mapInPandas(op, out_schema)

@@ -56,6 +56,41 @@ def cosine_topk(corpus, probes, k: int = 10,
     )
 
 
+def cosine_neardup_pairs(df, threshold: float, block_col: str | None = None,
+                         id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Embedding-cosine near-duplicate PAIRS: all (a, b) with
+    ``cos(a, b) >= threshold`` and ``a.id < b.id``, exact within blocks.
+
+    Blocked-exact is the standard shape for near-dup detection over a
+    corpus: block on cheap metadata (``block_col`` — language, cluster id,
+    length bucket, shard), then verify exactly within each block. The join
+    is a hash equi-join on the block key (one shuffle, AQE-skew-safe); the
+    cosine is pure JVM higher-order functions — no UDF, no cross join
+    across blocks. Cost is Σ_blocks |b|², so block sizes bound the work;
+    with no natural block, feed ``corpus_plane_buckets`` output as the
+    block (sign-LSH blocking, approximate recall) — this function is the
+    exact verifier either way.
+
+    Unblocked (``block_col=None``) is a full cross join — correctness
+    baseline for small corpora only.
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+    )
+    j = a.join(b, "_blk") if block_col else a.crossJoin(b)
+    return (
+        j.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_expr(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).astype(np.float64)

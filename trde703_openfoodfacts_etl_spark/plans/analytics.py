@@ -907,19 +907,39 @@ SELECT probe_id, rank, neighbor_id FROM r WHERE rank <= 5
 
 
 def q30_media_features(spark, sf_dir):
-    """Multimodal plumbing: synthetic media table → mapInPandas feature
-    extraction (rows-only; codecs stubbed — operators/multimodal.py)."""
-    from ..operators.multimodal import decode_features, synth_media
+    """Multimodal decode plumbing, fully oracled: the media table is a
+    deterministic Spark-native projection of documents (payload = UTF-8
+    bytes of ASCII-stripped text — an opaque binary column downstream),
+    decode runs as real mapInPandas over the binary column (Arrow batches,
+    numpy kernel — operators/multimodal.py; real codecs stubbed per the
+    driver's instruction), and the oracled aggregate uses the exact-integer
+    byte_sum feature so an independent engine verifies the distributed
+    decode bit-for-bit."""
+    from ..operators.multimodal import decode_features, media_from_documents
 
-    media = synth_media(spark, n=96)
+    d = load(spark, sf_dir, "documents")
+    feats = decode_features(media_from_documents(d))
     return (
-        decode_features(media)
-        .groupBy("kind")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.avg(F.element_at("feat", 1)), 4).alias("avg_f0"),
-        )
+        feats.groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("byte_sum").alias("sum_bytes"))
+        .orderBy("kind")
     )
+
+
+SQL_Q30 = r"""
+WITH m AS (
+  SELECT doc_id,
+         ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+         substr(regexp_replace(coalesce(text, ''), '[^\x20-\x7e]', '', 'g'), 1, 2048) AS s
+  FROM documents),
+b AS (
+  SELECT kind,
+         coalesce(list_sum(list_transform(range(1, least(length(s), 192) + 1),
+                                          i -> ord(substr(s, i, 1)))), 0)::BIGINT AS bs
+  FROM m)
+SELECT kind, count(*) AS n, sum(bs)::BIGINT AS sum_bytes
+FROM b GROUP BY kind ORDER BY kind
+"""
 
 
 def q31_word_explode(spark, sf_dir):
@@ -1101,6 +1121,126 @@ WINDOW w2 AS (PARTITION BY conv_id, turn_idx
 # Registry
 # ---------------------------------------------------------------------------
 
+def q37_cosine_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (the 5th dedup family next to
+    exact/MinHash/SimHash/Jaccard): blocked-exact — hash equi-join on the
+    block key (label), cosine via JVM higher-order functions, id-pairs out
+    (integers only; the float threshold has a verified >2e-3 margin on the
+    test corpus, so both engines agree on membership)."""
+    from ..operators.similarity import cosine_neardup_pairs
+
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        cosine_neardup_pairs(e, threshold=0.39, block_col="label")
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
+SQL_Q37 = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.39
+ORDER BY id_a, id_b
+"""
+
+
+def q38_asof_join(spark, sf_dir):
+    """Point-in-time (as-of) join: each event matched to the customer's
+    latest order at-or-before the event timestamp — union + per-key window,
+    ONE shuffle, no join explosion (operators/asof.py). The right side is
+    deduped to one row per (key, ts) with max_by so the as-of winner is
+    deterministic. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from ..operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    orders = load(spark, sf_dir, "orders")
+    latest = (
+        orders.groupBy("o_custkey", "o_orderdate")
+        .agg(F.max_by(F.struct("o_orderkey", "o_totalprice"), "o_orderkey").alias("s"))
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            "o_orderdate",
+            F.col("s.o_orderkey").alias("o_orderkey"),
+            F.col("s.o_totalprice").alias("o_totalprice"),
+        )
+    )
+    j = asof_join(
+        ev, latest, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        payload_cols=["o_orderkey", "o_totalprice"],
+    )
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("o_orderkey").alias("n_matched"),
+            F.sum(F.floor("o_totalprice").cast("long")).alias("sum_price_int"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_Q38 = """
+WITH latest AS (
+  SELECT o_custkey AS user_id, o_orderdate,
+         max(o_orderkey) AS o_orderkey,
+         max_by(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY 1, 2),
+j AS (
+  SELECT e.event_type, l.o_orderkey, l.o_totalprice
+  FROM events e ASOF LEFT JOIN latest l
+    ON e.user_id = l.user_id AND e.ts >= l.o_orderdate)
+SELECT event_type, count(*) AS n_events, count(o_orderkey) AS n_matched,
+       CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS sum_price_int
+FROM j GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q39_interval_join(spark, sf_dir):
+    """Interval (range) join with NO equi key: every event falling inside
+    the 30-minute window after any signup event, via fixed-width time
+    bucketing (explode each interval into covered buckets → equi-join on
+    bucket → exact range filter; operators/asof.py). Vanilla Spark would
+    pick BroadcastNestedLoopJoin here — O(|L|·|R|); the bucketed form
+    shuffles on the bucket key and compares only co-bucketed rows."""
+    from ..operators.asof import interval_join
+
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    windows = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("w_id"),
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+        )
+    )
+    j = interval_join(ev, windows, "ts", "w_start", "w_end", bucket_seconds=1800)
+    return (
+        j.filter(F.col("event_id") != F.col("w_id"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("event_id").alias("n_events"),
+            F.countDistinct("w_id").alias("n_windows"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_Q39 = """
+SELECT e.event_type, count(*) AS n_pairs,
+       count(DISTINCT e.event_id) AS n_events,
+       count(DISTINCT w.event_id) AS n_windows
+FROM events e JOIN events w
+  ON w.event_type = 'signup'
+ AND e.ts >= w.ts AND e.ts <= w.ts + INTERVAL 30 MINUTE
+ AND e.event_id <> w.event_id
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_top_brands": (q02_top_brands, SQL_Q02),
@@ -1131,11 +1271,14 @@ REGISTRY: dict[str, tuple] = {
     "q27_fingerprint": (q27_fingerprint, SQL_Q27),
     "q28_ann_lsh": (q28_ann_lsh, SQL_Q28),
     "q29_ann_ivf": (q29_ann_ivf, SQL_Q29),
-    "q30_media_features": (q30_media_features, None),
+    "q30_media_features": (q30_media_features, SQL_Q30),
     "q31_word_explode": (q31_word_explode, SQL_Q31),
     "q32_cube": (q32_cube, SQL_Q32),
     "q33_union_distinct": (q33_union_distinct, SQL_Q33),
     "q34_pivot": (q34_pivot, SQL_Q34),
     "q35_percentiles": (q35_percentiles, SQL_Q35),
     "q36_scd2_intervals": (q36_scd2_intervals, SQL_Q36),
+    "q37_cosine_neardup": (q37_cosine_neardup, SQL_Q37),
+    "q38_asof_join": (q38_asof_join, SQL_Q38),
+    "q39_interval_join": (q39_interval_join, SQL_Q39),
 }
