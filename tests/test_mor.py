@@ -140,3 +140,29 @@ def test_streaming_session_window(spark, tmp_path):
     assert len(rows) > 0
     assert all(r["session_end"] > r["session_start"] for r in rows)
     assert all(r["n_events"] >= 1 for r in rows)
+
+
+def test_mor_apply_runs_single_action_no_collect(spark, tmp_path, monkeypatch):
+    """The MOR fast path must run exactly ONE action per batch (the delta
+    write) and ZERO driver collects — the touched-bucket set and observe()
+    metrics ride the write. Regression guard against reintroducing the
+    separate touched-buckets scan (a full extra pass over every batch)."""
+    from pyspark.sql import DataFrame
+
+    lake = LakeTable.create(spark, str(tmp_path / "lake_jobs"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    batch = make_events(spark, [
+        ("I", 1, "c1", 0, "user", "hi", None, 10),
+        ("I", 2, "c1", 1, "assistant", "yo", None, 11),
+        ("I", 3, "c2", 0, "user", "hey", None, 12),
+    ])
+    calls = {"collect": 0, "count": 0}
+    orig_collect, orig_count = DataFrame.collect, DataFrame.count
+    monkeypatch.setattr(
+        DataFrame, "collect", lambda self: calls.__setitem__("collect", calls["collect"] + 1) or orig_collect(self)
+    )
+    monkeypatch.setattr(
+        DataFrame, "count", lambda self: calls.__setitem__("count", calls["count"] + 1) or orig_count(self)
+    )
+    res = apply_batch(lake, batch, batch_id=1, mode="mor")
+    assert calls == {"collect": 0, "count": 0}, calls
+    assert res["rows_written"] == 3 and res["buckets_touched"] >= 1

@@ -63,6 +63,12 @@ def asof_join(
     keys = [on] if isinstance(on, str) else list(on)
     if payload_cols is None:
         payload_cols = [c for c in right.columns if c not in set(keys) | {right_ts}]
+    clash = set(payload_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join: right payload columns {sorted(clash)} collide with "
+            "left columns — rename one side before joining"
+        )
 
     l_tagged = left.withColumn(_SIDE, F.lit(1)).withColumn(
         _TS, F.col(left_ts).cast("timestamp")

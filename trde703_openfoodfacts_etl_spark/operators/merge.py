@@ -203,22 +203,15 @@ def _apply_batch_once(
         ],
     )
 
-    _t["plan"] = time.time()
-    # ---- action 1: touched buckets (narrow scan — conv_id column only) -------
-    touched = sorted(
-        r[0]
-        for r in env.select(bucket_expr(num_buckets).alias(META_BUCKET))
-        .distinct()
-        .collect()
-    )
-    try:
-        pre = obs.get
-    except Exception:
-        # an empty batch runs zero tasks → no observed-metrics row; fall
-        # back to a direct (trivial) count
-        pre = {"n_raw": batch_df.count(), "n_gated_out": 0, "max_lsn": 0, "max_ts": None}
-    _t["a1_touched"] = time.time()
-    if not touched:
+    def _obs_pre():
+        try:
+            return obs.get
+        except Exception:
+            # an empty batch runs zero tasks → no observed-metrics row; fall
+            # back to a direct (trivial) count
+            return {"n_raw": batch_df.count(), "n_gated_out": 0, "max_lsn": 0, "max_ts": None}
+
+    def _commit_empty(pre):
         new_snap = lake.commit(
             snap, {}, {}, {}, stream_id, batch_id,
             {"batch_id": batch_id, "events_in": int(pre["n_raw"]), "empty_batch": True},
@@ -231,7 +224,12 @@ def _apply_batch_once(
             "buckets_rewritten": 0,
         }
 
+    _t["plan"] = time.time()
+
     # ---- MOR fast path: append in-batch winners as delta files ---------------
+    # One Spark job total: the winners write IS the first action (no separate
+    # touched-buckets scan — write_bucket_files already reports the buckets
+    # it produced, which is exactly the touched set after LWW).
     if mode == "mor":
         winners = (
             lww_winners(env, payload_cols)
@@ -248,6 +246,10 @@ def _apply_batch_once(
         replaced = lake.write_bucket_files(
             winners, snap["snapshot_id"] + 1, snap["schema_id"], files_per_bucket
         )
+        pre = _obs_pre()
+        _t["a1_touched"] = time.time()
+        if not replaced:
+            return _commit_empty(pre)
         rows_written = sum(fe["rows"] for fs in replaced.values() for fe in fs)
         hwm = int(pre["max_lsn"] or 0)
         metrics = {
@@ -255,7 +257,7 @@ def _apply_batch_once(
             "mode": "mor",
             "events_in": int(pre["n_raw"]),
             "gated_out": int(pre["n_gated_out"] or 0),
-            "buckets_touched": len(touched),
+            "buckets_touched": len(replaced),
             "delta_files": sum(len(fs) for fs in replaced.values()),
             "rows_written": int(rows_written),
             "wall_sec": round(time.time() - t0, 3),
@@ -272,6 +274,20 @@ def _apply_batch_once(
         )
         metrics["snapshot_id"] = new_snap["snapshot_id"]
         return metrics
+
+    # ---- action 1 (COW only): touched buckets (narrow scan — conv_id only) ---
+    # COW needs the touched set BEFORE the merge to prune the current-state
+    # read to only the buckets this batch can change.
+    touched = sorted(
+        r[0]
+        for r in env.select(bucket_expr(num_buckets).alias(META_BUCKET))
+        .distinct()
+        .collect()
+    )
+    pre = _obs_pre()
+    _t["a1_touched"] = time.time()
+    if not touched:
+        return _commit_empty(pre)
 
     # ---- action 2: skinny change detection (hash-only, no payload moves) -----
     # Raw batch events union current state → ONE LWW aggregate (LWW is

@@ -74,18 +74,25 @@ def cosine_neardup_pairs(df, threshold: float, block_col: str | None = None,
     Unblocked (``block_col=None``) is a full cross join — correctness
     baseline for small corpora only.
     """
+    # Norms are per-ROW, not per-pair: compute each side's norm once before
+    # the join (O(n·d)) so the per-pair work is a single dot product
+    # (O(pairs·d)) — 3× less higher-order-function work than a naive
+    # cosine_expr per pair, and the win grows with block size.
+    norm = F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
     a = df.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), norm.alias("_na"),
         *( [F.col(block_col).alias("_blk")] if block_col else [] ),
     )
     b = df.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), norm.alias("_nb"),
         *( [F.col(block_col).alias("_blk")] if block_col else [] ),
     )
     j = a.join(b, "_blk") if block_col else a.crossJoin(b)
     return (
         j.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine_expr(F.col("_va"), F.col("_vb")))
+        .withColumn(
+            "cos", _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+        )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )

@@ -82,17 +82,23 @@ def _physical_schema(user_schema: T.StructType) -> T.StructType:
 
 
 class LakeTable:
-    def __init__(self, spark, root: str):
+    def __init__(self, spark, root: str, io=None):
+        from .fileio import LocalManifestIO
+
         self.spark = spark
         self.root = root
+        #: driver-side catalog I/O seam (sources/fileio.py): swap for an
+        #: object-store/catalog implementation in a real deployment; data
+        #: files always go through Spark's own Hadoop FileSystem layer.
+        self.io = io or LocalManifestIO()
 
     # -- creation / snapshot plumbing ------------------------------------
 
     @classmethod
-    def create(cls, spark, root: str, schema: T.StructType, num_buckets: int = 16):
-        os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
-        os.makedirs(os.path.join(root, DATA_DIR), exist_ok=True)
-        t = cls(spark, root)
+    def create(cls, spark, root: str, schema: T.StructType, num_buckets: int = 16, io=None):
+        t = cls(spark, root, io=io)
+        t.io.makedirs(os.path.join(root, MANIFEST_DIR))
+        t.io.makedirs(os.path.join(root, DATA_DIR))
         if t.latest_id() is None:
             snap = {
                 "snapshot_id": 0,
@@ -116,12 +122,9 @@ class LakeTable:
         return os.path.join(self.root, MANIFEST_DIR, f"snapshot-{sid:012d}.json")
 
     def latest_id(self) -> int | None:
-        d = os.path.join(self.root, MANIFEST_DIR)
-        if not os.path.isdir(d):
-            return None
         ids = [
             int(f[len("snapshot-") : -len(".json")])
-            for f in os.listdir(d)
+            for f in self.io.list_names(os.path.join(self.root, MANIFEST_DIR))
             if f.startswith("snapshot-") and f.endswith(".json")
         ]
         return max(ids) if ids else None
@@ -130,32 +133,20 @@ class LakeTable:
         sid = self.latest_id() if sid is None else sid
         if sid is None:
             raise FileNotFoundError(f"no snapshots under {self.root}")
-        with open(self._snap_path(sid)) as f:
-            return json.load(f)
+        return self.io.read_json(self._snap_path(sid))
 
     def _write_snapshot(self, snap: dict) -> None:
-        """Atomic compare-and-swap commit: temp write + ``os.link`` onto the
-        target snapshot id. ``link`` (unlike ``rename``) fails with EEXIST if
-        the target already exists, so two writers racing to commit child
-        snapshots of the same parent cannot silently last-writer-win — the
-        loser gets :class:`SnapshotConflict` and retries against the new
-        head (see ``apply_batch``'s retry loop). Readers only ever see a
-        fully written manifest (the temp file is fsync'd before linking).
-        On an object store this maps to a conditional PUT / catalog CAS."""
-        p = self._snap_path(snap["snapshot_id"])
-        tmp = p + f".tmp.{os.getpid()}.{id(snap)}"
-        with open(tmp, "w") as f:
-            json.dump(snap, f)
-            f.flush()
-            os.fsync(f.fileno())
+        """Atomic compare-and-swap commit via the IO seam's create-if-absent
+        (locally: temp write + fsync + ``os.link``; on an object store: a
+        conditional PUT / catalog CAS — see sources/fileio.py). A writer
+        losing the race gets :class:`SnapshotConflict` and retries against
+        the new head (see ``apply_batch``'s retry loop)."""
         try:
-            os.link(tmp, p)
+            self.io.write_json_if_absent(self._snap_path(snap["snapshot_id"]), snap)
         except FileExistsError:
             raise SnapshotConflict(
                 f"snapshot {snap['snapshot_id']} already committed by another writer"
             ) from None
-        finally:
-            os.unlink(tmp)
 
     # -- schema ------------------------------------------------------------
 
@@ -280,8 +271,6 @@ class LakeTable:
         extra shuffle is added; each task's rows split into per-bucket files
         by the dynamic-partition writer. Otherwise one repartition by bucket
         yields one file per bucket per task."""
-        import pyarrow.parquet as pq
-
         # unique suffix: two writers racing toward the same child snapshot id
         # must never share a data directory (the CAS on the manifest decides
         # the winner; the loser's files stay orphaned until vacuum)
@@ -307,20 +296,19 @@ class LakeTable:
             .parquet(out)
         )
         entries: dict[int, list[dict]] = {}
-        for d in os.listdir(out):
+        for d in self.io.list_names(out):
             if not d.startswith(f"{META_BUCKET}="):
                 continue
             b = int(d.split("=")[1])
-            for fn in os.listdir(os.path.join(out, d)):
+            for fn in self.io.list_names(os.path.join(out, d)):
                 if not fn.endswith(".parquet"):
                     continue
-                full = os.path.join(out, d, fn)
-                md = pq.read_metadata(full)
+                rows, nbytes = self.io.parquet_stats(os.path.join(out, d, fn))
                 entries.setdefault(b, []).append(
                     {
                         "path": os.path.join(rel_epoch, d, fn),
-                        "rows": md.num_rows,
-                        "bytes": os.path.getsize(full),
+                        "rows": rows,
+                        "bytes": nbytes,
                         "schema_id": schema_id,
                     }
                 )
@@ -679,7 +667,7 @@ class LakeTable:
         newest `keep_snapshots` (and those manifests). Returns removed paths."""
         ids = sorted(
             int(f[len("snapshot-") : -len(".json")])
-            for f in os.listdir(os.path.join(self.root, MANIFEST_DIR))
+            for f in self.io.list_names(os.path.join(self.root, MANIFEST_DIR))
             if f.startswith("snapshot-")
         )
         keep = set(ids[-keep_snapshots:])
@@ -689,14 +677,12 @@ class LakeTable:
             for binfo in s["buckets"].values():
                 live.update(fe["path"] for fe in binfo["files"])
         removed = []
-        for dirpath, _, files in os.walk(os.path.join(self.root, DATA_DIR)):
-            for fn in files:
-                full = os.path.join(dirpath, fn)
-                rel = os.path.relpath(full, self.root)
-                if fn.endswith(".parquet") and rel not in live:
-                    os.remove(full)
-                    removed.append(rel)
+        for full in self.io.walk_files(os.path.join(self.root, DATA_DIR)):
+            rel = os.path.relpath(full, self.root)
+            if full.endswith(".parquet") and rel not in live:
+                self.io.remove(full)
+                removed.append(rel)
         for sid in ids:
             if sid not in keep:
-                os.remove(self._snap_path(sid))
+                self.io.remove(self._snap_path(sid))
         return removed
