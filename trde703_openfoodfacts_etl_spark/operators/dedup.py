@@ -108,10 +108,31 @@ def ngram_jaccard_pairs(df, text_col: str = "text", id_col: str = "doc_id",
             ex.join(dfreq, "_gh")
             .withColumn("_rk", F.row_number().over(wdoc))
             .filter(F.col("_rk") <= prefix_len)
-            .select("_id", "_size", "_gh")
+            .select("_id", "_size", "_gh", "_rk")
         )
-    a = ex.select(F.col("_id").alias("id_a"), F.col("_size").alias("size_a"), "_gh")
-    b = ex.select(F.col("_id").alias("id_b"), F.col("_size").alias("size_b"), "_gh")
+    else:
+        ex = ex.withColumn("_rk", F.lit(None).cast("int"))
+    a = ex.select(
+        F.col("_id").alias("id_a"), F.col("_size").alias("size_a"), "_gh",
+        F.col("_rk").alias("_rka"),
+    )
+    b = ex.select(
+        F.col("_id").alias("id_b"), F.col("_size").alias("size_b"), "_gh",
+        F.col("_rk").alias("_rkb"),
+    )
+    # PPJoin positional filter (lossless): a prefix collision at sorted
+    # positions (i, j) bounds the overlap by 1 + min(|A|−i, |B|−j); Jaccard
+    # ≥ t needs overlap ≥ t/(1+t)·(|A|+|B|). Prunes most length-compatible
+    # but content-disjoint candidates BEFORE the dedup + verify joins.
+    overlap_needed = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("size_a") + F.col("size_b"))
+    )
+    positional_ok = (
+        F.lit(1)
+        + F.least(
+            F.col("size_a") - F.col("_rka"), F.col("size_b") - F.col("_rkb")
+        )
+    ) >= overlap_needed
     cand = (
         a.join(b, "_gh")
         .filter(
@@ -119,6 +140,7 @@ def ngram_jaccard_pairs(df, text_col: str = "text", id_col: str = "doc_id",
             # length filter: J ≥ t needs t·max(|A|,|B|) ≤ min(|A|,|B|)
             & (F.least("size_a", "size_b")
                >= threshold * F.greatest("size_a", "size_b"))
+            & (positional_ok if prefix_filter else F.lit(True))
         )
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
@@ -139,8 +161,25 @@ def ngram_jaccard_pairs(df, text_col: str = "text", id_col: str = "doc_id",
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
         )
-    sa = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
-    sb = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    # Verification only needs the shingle arrays of CANDIDATE docs — a tiny
+    # set after prefix filtering. Semi-join the raw docs down to candidates
+    # first, then shingle just those. cand feeds two consumers (the id set
+    # and the final join); localCheckpoint materializes the small candidate
+    # list once instead of re-running the whole prefix pipeline per consumer
+    # (storage is executor-local and freed with the DataFrame).
+    cand = cand.localCheckpoint(eager=False)
+    cids = (
+        cand.select(F.col("id_a").alias("_id"))
+        .union(cand.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    csh = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+        .join(F.broadcast(cids), "_id", "left_semi")
+        .select("_id", word_shingles(F.col("_t"), n).alias("_sh"))
+    )
+    sa = csh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    sb = csh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
     return (

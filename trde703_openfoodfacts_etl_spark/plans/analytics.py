@@ -1025,13 +1025,27 @@ FROM orders GROUP BY o_orderpriority
 
 
 def q35_percentiles(spark, sf_dir):
-    """Exact interpolated percentiles (quantile_cont semantics)."""
+    """Exact interpolated percentiles (quantile_cont semantics). One
+    percentile(…, array(…)) aggregate — a single per-group value buffer and
+    one sort for all four quantiles, not four independent buffers. At 100×
+    scale the exact form's per-group memory is the bound; approx_percentile
+    (t-digest, mergeable, bounded memory) is the stated scale path — exact
+    kept here because the oracle gate demands exact equality."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75"),
-        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))"
+            ).alias("_p")
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("_p", 1), 4).alias("p25"),
+            F.round(F.element_at("_p", 2), 4).alias("p50"),
+            F.round(F.element_at("_p", 3), 4).alias("p75"),
+            F.round(F.element_at("_p", 4), 4).alias("p95"),
+        )
     )
 
 
@@ -1241,6 +1255,19 @@ GROUP BY e.event_type ORDER BY e.event_type
 """
 
 
+def _q40_cdc_changelog(spark, sf_dir):
+    """CDC-out changelog (lake.changes snapshot diff) — see
+    plans/flagship.py:cdc_changes."""
+    from . import flagship
+
+    return flagship.cdc_changes(spark, sf_dir)
+
+
+from . import flagship as _flagship  # noqa: E402
+
+_SQL_Q40 = _flagship.SQL_CDC_CHANGES
+
+
 REGISTRY: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_top_brands": (q02_top_brands, SQL_Q02),
@@ -1281,4 +1308,5 @@ REGISTRY: dict[str, tuple] = {
     "q37_cosine_neardup": (q37_cosine_neardup, SQL_Q37),
     "q38_asof_join": (q38_asof_join, SQL_Q38),
     "q39_interval_join": (q39_interval_join, SQL_Q39),
+    "q40_cdc_changelog": (_q40_cdc_changelog, _SQL_Q40),
 }

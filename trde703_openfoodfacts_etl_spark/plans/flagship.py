@@ -69,6 +69,68 @@ def cdc_replay(spark, sf_dir: str, n_batches: int = 3):
     return lake.read().select("conv_id", "turn_idx", "role", "text", "ts")
 
 
+def cdc_changes(spark, sf_dir: str):
+    """CDC-out surface under the driver gate: replay the event feed in two
+    lsn-split batches, then emit the snapshot-diff changelog between the
+    two commits (`lake.changes` — manifest-pruned to buckets whose file
+    lists differ, full-outer key join, row-hash classification into
+    insert/update/delete). The oracle derives the same changelog as the
+    diff of two independent LWW materializations (events < mid vs all) —
+    valid because the merge is associative: state after batch 1 IS the LWW
+    of the first half."""
+    from ..operators.merge import apply_batch
+    from ..sources.lake import LakeTable
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    root = tempfile.mkdtemp(prefix="cdc_changes_", dir=SCRATCH)
+    lake = LakeTable.create(spark, root, EVENT_LAKE_SCHEMA, num_buckets=8)
+    ev = _as_cdc(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    lo, hi = ev.agg(F.min("lsn"), F.max("lsn")).first()
+    mid = int(lo) + (int(hi) - int(lo)) // 2 + 1
+    m1 = apply_batch(lake, ev.filter(F.col("lsn") < mid), 0)
+    m2 = apply_batch(lake, ev.filter(F.col("lsn") >= mid), 1)
+    return lake.changes(m1["snapshot_id"], m2["snapshot_id"]).select(
+        "conv_id", "turn_idx", "role", "text", "ts", "change_type"
+    )
+
+
+SQL_CDC_CHANGES = """
+WITH ev AS (
+    SELECT CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+           event_id AS lsn,
+           CAST(user_id AS VARCHAR) AS conv_id,
+           CAST(event_id % 50 AS INT) AS turn_idx,
+           event_type AS role, props AS text, ts
+    FROM events),
+b AS (SELECT min(lsn) AS lo, max(lsn) AS hi FROM ev),
+m AS (SELECT lo + (hi - lo) // 2 + 1 AS mid FROM b),
+s1 AS (
+    SELECT conv_id, turn_idx, role, text, ts, 1 AS present FROM (
+        SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+            ORDER BY coalesce(ts, TIMESTAMP '1970-01-01') DESC, lsn DESC) AS rn
+        FROM ev WHERE lsn < (SELECT mid FROM m))
+    WHERE rn = 1 AND op <> 'D'),
+s2 AS (
+    SELECT conv_id, turn_idx, role, text, ts, 1 AS present FROM (
+        SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+            ORDER BY coalesce(ts, TIMESTAMP '1970-01-01') DESC, lsn DESC) AS rn
+        FROM ev)
+    WHERE rn = 1 AND op <> 'D')
+SELECT coalesce(n.conv_id, o.conv_id) AS conv_id,
+       coalesce(n.turn_idx, o.turn_idx) AS turn_idx,
+       n.role, n.text, n.ts,
+       CASE WHEN o.present IS NULL THEN 'insert'
+            WHEN n.present IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type
+FROM s2 n FULL OUTER JOIN s1 o
+    ON n.conv_id = o.conv_id AND n.turn_idx = o.turn_idx
+WHERE o.present IS NULL OR n.present IS NULL
+   OR n.role IS DISTINCT FROM o.role
+   OR n.text IS DISTINCT FROM o.text
+   OR n.ts IS DISTINCT FROM o.ts
+"""
+
+
 SQL_CDC_REPLAY = """
 WITH ev AS (
     SELECT CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
