@@ -107,6 +107,27 @@ def test_cosine_neardup_blocked(spark):
     assert (1, 4) in {(r.id_a, r.id_b) for r in out_all.collect()}
 
 
+def test_cosine_neardup_matmul_matches_declarative(spark):
+    """The BLAS-matmul kernel and the JVM higher-order-function form must
+    produce the same pair set (and cosines to ~1e-9) on real data."""
+    from trde703_openfoodfacts_etl_spark.operators.similarity import (
+        cosine_neardup_pairs_matmul,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    decl = {
+        (r.id_a, r.id_b): r.cos
+        for r in cosine_neardup_pairs(e, threshold=0.3, block_col="label").collect()
+    }
+    mm = {
+        (r.id_a, r.id_b): r.cos
+        for r in cosine_neardup_pairs_matmul(e, threshold=0.3, block_col="label").collect()
+    }
+    assert set(decl) == set(mm) and len(mm) > 0
+    for k in decl:
+        assert abs(decl[k] - mm[k]) < 1e-6
+
+
 def test_interval_join_plan_has_no_nested_loop(spark):
     left = spark.createDataFrame([(1, _ts(50))], "event_id int, ts timestamp")
     right = spark.createDataFrame(

@@ -98,6 +98,46 @@ def cosine_neardup_pairs(df, threshold: float, block_col: str | None = None,
     )
 
 
+def cosine_neardup_pairs_matmul(df, threshold: float, block_col: str,
+                                id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Same contract as :func:`cosine_neardup_pairs` (blocked-exact pairs,
+    ``id_a < id_b``, cos ≥ threshold) with the per-block pair scoring done
+    as ONE numpy/BLAS matmul inside ``applyInPandas`` — the production
+    kernel for dense similarity (like the LSH/IVF scorers): a block of m
+    d-dim vectors costs one m×d · d×m GEMM instead of m²/2 interpreted
+    higher-order-function dot products. Each block must fit one executor
+    task (m² score matrix): bound block sizes upstream (that is what the
+    blocking key is for) or sub-block with LSH buckets.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(V, axis=1, keepdims=True)
+        norms[norms == 0.0] = np.nan  # zero vectors match nothing (cos undefined)
+        V = V / norms
+        G = V @ V.T
+        iu, ju = np.triu_indices(m, k=1)
+        s = G[iu, ju]
+        keep = s >= threshold  # NaN fails, matching the SQL form's null-drop
+        return pd.DataFrame(
+            {"id_a": ids[iu[keep]], "id_b": ids[ju[keep]], "cos": s[keep]}
+        )
+
+    return df.groupBy(block_col).applyInPandas(kernel, out_schema)
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).astype(np.float64)

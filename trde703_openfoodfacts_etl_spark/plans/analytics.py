@@ -1137,15 +1137,18 @@ WINDOW w2 AS (PARTITION BY conv_id, turn_idx
 
 def q37_cosine_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (the 5th dedup family next to
-    exact/MinHash/SimHash/Jaccard): blocked-exact — hash equi-join on the
-    block key (label), cosine via JVM higher-order functions, id-pairs out
-    (integers only; the float threshold has a verified >2e-3 margin on the
-    test corpus, so both engines agree on membership)."""
-    from ..operators.similarity import cosine_neardup_pairs
+    exact/MinHash/SimHash/Jaccard): blocked-exact — one numpy/BLAS matmul
+    per block via applyInPandas (similarity.cosine_neardup_pairs_matmul;
+    the declarative JVM-HOF form exists as cosine_neardup_pairs and is
+    pair-tested against this one). Id-pairs out, integers only; the float
+    threshold has a verified >2e-3 margin on the test corpus (BLAS-vs-
+    sequential summation differs by ~1e-12), so both engines agree on
+    membership."""
+    from ..operators.similarity import cosine_neardup_pairs_matmul
 
     e = load(spark, sf_dir, "embeddings")
     return (
-        cosine_neardup_pairs(e, threshold=0.39, block_col="label")
+        cosine_neardup_pairs_matmul(e, threshold=0.39, block_col="label")
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     )
