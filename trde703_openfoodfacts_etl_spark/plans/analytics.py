@@ -1266,6 +1266,65 @@ def _q40_cdc_changelog(spark, sf_dir):
     return flagship.cdc_changes(spark, sf_dir)
 
 
+def q41_corpus_prep(spark, sf_dir):
+    """Capstone: the full training-data prep pipeline as ONE declarative
+    plan — exact dedup (keep the lowest doc_id per content fingerprint) →
+    quality gate (composite score ≥ 0.7) → per-language corpus stats
+    (docs kept, token budget, mean quality). Every stage is the operator
+    already gated individually (q18 dedup, q22 quality, q17 tokens); this
+    query verifies their COMPOSITION end-to-end against one SQL oracle.
+    Shape at scale: one shuffle on the md5 fingerprint (dedup), the rest
+    map-side."""
+    from ..functions.text import fingerprint_expr, quality_score_expr, token_count_expr
+
+    d = load(spark, sf_dir, "documents")
+    keepers = (
+        d.groupBy(fingerprint_expr(F.col("text")).alias("_fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = d.join(keepers, "doc_id", "left_semi").withColumn(
+        "_q", quality_score_expr(F.col("text"))
+    ).filter(F.col("_q") >= 0.7)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count_expr(F.col("text")).cast("long")).alias("token_budget"),
+            F.round(F.avg("_q"), 4).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_Q41 = """
+WITH keepers AS (
+    SELECT min(doc_id) AS doc_id
+    FROM documents
+    GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+m AS (
+    SELECT lang, text,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+           (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+               * 1.0 / length(text) AS punct,
+           len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+               t -> t IN ('the','a','of','to','and','in','is','it','for','on')))
+               * 1.0 / len(string_split_regex(lower(trim(text)), '\\s+')) AS sw
+    FROM documents WHERE doc_id IN (SELECT doc_id FROM keepers)),
+q AS (
+    SELECT lang, n_tok,
+           (CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 1 ELSE 0 END) * 0.4
+         + (CASE WHEN punct < 0.3 THEN 1 ELSE 0 END) * 0.3
+         + (CASE WHEN sw > 0.01 THEN 1 ELSE 0 END) * 0.3 AS score
+    FROM m)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS token_budget,
+       round(avg(score), 4) AS avg_quality
+FROM q WHERE score >= 0.7
+GROUP BY lang ORDER BY lang
+"""
+
+
 from . import flagship as _flagship  # noqa: E402
 
 _SQL_Q40 = _flagship.SQL_CDC_CHANGES
@@ -1312,4 +1371,5 @@ REGISTRY: dict[str, tuple] = {
     "q38_asof_join": (q38_asof_join, SQL_Q38),
     "q39_interval_join": (q39_interval_join, SQL_Q39),
     "q40_cdc_changelog": (_q40_cdc_changelog, _SQL_Q40),
+    "q41_corpus_prep": (q41_corpus_prep, SQL_Q41),
 }
