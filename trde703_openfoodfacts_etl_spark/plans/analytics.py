@@ -1325,6 +1325,73 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def q42_train_val_split(spark, sf_dir):
+    """Deterministic content-hash train/val split (the standard leakage-safe
+    split for training corpora: membership is a pure function of content,
+    stable across runs/partitionings — never rand()). val = first md5 hex
+    nibble '0' (≈1/16); per (split, lang) doc counts + token budget."""
+    from ..functions.text import token_count_expr
+
+    d = load(spark, sf_dir, "documents")
+    split = F.when(F.substring(F.md5("text"), 1, 1) == "0", "val").otherwise("train")
+    return (
+        d.select(split.alias("split"), "lang", token_count_expr(F.col("text")).alias("_t"))
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum(F.col("_t").cast("long")).alias("tokens"))
+        .orderBy("split", "lang")
+    )
+
+
+SQL_Q42 = """
+SELECT CASE WHEN substr(md5(text), 1, 1) = '0' THEN 'val' ELSE 'train' END AS split,
+       lang, count(*) AS n_docs,
+       CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS tokens
+FROM documents GROUP BY 1, 2 ORDER BY split, lang
+"""
+
+
+def q43_contamination(spark, sf_dir):
+    """Cross-source contamination check (did benchmark/eval text leak into
+    a training shard?): near-dup fingerprint (min-md5 winnowing over word
+    3-grams) shared across different sources, doc-pair counts per source
+    pair. Scale shape: aggregate to (fingerprint, source, n) FIRST, then
+    self-join the aggregated table — the join input is |distinct fp ×
+    sources|, never |docs|², and pair counts come out as n_a·n_b (equal to
+    the naive doc-level self-join the oracle runs)."""
+    from ..functions.text import mingram_fingerprint_expr
+
+    d = load(spark, sf_dir, "documents")
+    per = (
+        d.select(mingram_fingerprint_expr(F.col("text")).alias("_fp"), "source")
+        .groupBy("_fp", "source")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    a = per.select("_fp", F.col("source").alias("source_a"), F.col("_n").alias("_na"))
+    b = per.select("_fp", F.col("source").alias("source_b"), F.col("_n").alias("_nb"))
+    return (
+        a.join(b, "_fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.col("_na") * F.col("_nb")).alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "source_a", "source_b")
+    )
+
+
+SQL_Q43 = """
+WITH toks AS (SELECT doc_id, source,
+        string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+    FROM documents),
+fp AS (SELECT doc_id, source,
+        CASE WHEN len(w) < 3 THEN md5(array_to_string(w, ' '))
+        ELSE list_min(list_transform(range(1, len(w)-1),
+                                     i -> md5(array_to_string(w[i:i+2], ' ')))) END AS f
+    FROM toks)
+SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_pairs
+FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+GROUP BY 1, 2 ORDER BY n_pairs DESC, source_a, source_b
+"""
+
+
 from . import flagship as _flagship  # noqa: E402
 
 _SQL_Q40 = _flagship.SQL_CDC_CHANGES
@@ -1372,4 +1439,6 @@ REGISTRY: dict[str, tuple] = {
     "q39_interval_join": (q39_interval_join, SQL_Q39),
     "q40_cdc_changelog": (_q40_cdc_changelog, _SQL_Q40),
     "q41_corpus_prep": (q41_corpus_prep, SQL_Q41),
+    "q42_train_val_split": (q42_train_val_split, SQL_Q42),
+    "q43_contamination": (q43_contamination, SQL_Q43),
 }
