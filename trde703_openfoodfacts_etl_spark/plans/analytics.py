@@ -1441,4 +1441,12 @@ REGISTRY: dict[str, tuple] = {
     "q41_corpus_prep": (q41_corpus_prep, SQL_Q41),
     "q42_train_val_split": (q42_train_val_split, SQL_Q42),
     "q43_contamination": (q43_contamination, SQL_Q43),
+    "q44_sql_surface": (
+        lambda spark, sf_dir: _flagship.cdc_sql_surface(spark, sf_dir),
+        _flagship.SQL_CDC_SQL_SURFACE,
+    ),
+    "q45_time_travel": (
+        lambda spark, sf_dir: _flagship.cdc_time_travel(spark, sf_dir),
+        _flagship.SQL_CDC_TIME_TRAVEL,
+    ),
 }

@@ -131,6 +131,89 @@ WHERE o.present IS NULL OR n.present IS NULL
 """
 
 
+def cdc_sql_surface(spark, sf_dir: str):
+    """The spark.sql entry point over engine state: replay the feed through
+    the lake, register the live state as a temp view, and answer a pure-SQL
+    analytical question against it (the reference's third entry point —
+    `mariadb < analytics.sql` — re-expressed over the lake instead of a
+    warehouse; SURVEY §3.3). Exercises DataFrame→SQL interop end-to-end."""
+    state = cdc_replay(spark, sf_dir)
+    state.createOrReplaceTempView("transcript_state")
+    return spark.sql("""
+        SELECT role,
+               count(*) AS n_turns,
+               count(DISTINCT conv_id) AS n_convs,
+               CAST(sum(length(text)) AS BIGINT) AS chars
+        FROM transcript_state
+        GROUP BY role ORDER BY role
+    """)
+
+
+SQL_CDC_SQL_SURFACE = """
+WITH ev AS (
+    SELECT CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+           event_id AS lsn, CAST(user_id AS VARCHAR) AS conv_id,
+           CAST(event_id % 50 AS INT) AS turn_idx,
+           event_type AS role, props AS text, ts
+    FROM events),
+s AS (
+    SELECT conv_id, role, text FROM (
+        SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+            ORDER BY coalesce(ts, TIMESTAMP '1970-01-01') DESC, lsn DESC) AS rn
+        FROM ev)
+    WHERE rn = 1 AND op <> 'D')
+SELECT role, count(*) AS n_turns, count(DISTINCT conv_id) AS n_convs,
+       CAST(sum(length(text)) AS BIGINT) AS chars
+FROM s GROUP BY role ORDER BY role
+"""
+
+
+def cdc_time_travel(spark, sf_dir: str):
+    """Snapshot time travel under the driver gate: replay in two lsn-split
+    batches, then query the table AS OF the first commit
+    (`lake.read(snapshot_id=...)`) — the oracle materializes LWW over only
+    the first half of the feed, so the gate proves historical reads return
+    exactly the state that existed at that commit."""
+    from ..operators.merge import apply_batch
+    from ..sources.lake import LakeTable
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    root = tempfile.mkdtemp(prefix="cdc_tt_", dir=SCRATCH)
+    lake = LakeTable.create(spark, root, EVENT_LAKE_SCHEMA, num_buckets=8)
+    ev = _as_cdc(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    lo, hi = ev.agg(F.min("lsn"), F.max("lsn")).first()
+    mid = int(lo) + (int(hi) - int(lo)) // 2 + 1
+    m1 = apply_batch(lake, ev.filter(F.col("lsn") < mid), 0)
+    apply_batch(lake, ev.filter(F.col("lsn") >= mid), 1)  # head moves on
+    past = lake.read(snapshot_id=m1["snapshot_id"])
+    return (
+        past.groupBy("role")
+        .agg(F.count(F.lit(1)).alias("n_turns"),
+             F.countDistinct("conv_id").alias("n_convs"))
+        .orderBy("role")
+    )
+
+
+SQL_CDC_TIME_TRAVEL = """
+WITH ev AS (
+    SELECT CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+           event_id AS lsn, CAST(user_id AS VARCHAR) AS conv_id,
+           CAST(event_id % 50 AS INT) AS turn_idx,
+           event_type AS role, props AS text, ts
+    FROM events),
+b AS (SELECT min(lsn) AS lo, max(lsn) AS hi FROM ev),
+m AS (SELECT lo + (hi - lo) // 2 + 1 AS mid FROM b),
+s1 AS (
+    SELECT conv_id, role FROM (
+        SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+            ORDER BY coalesce(ts, TIMESTAMP '1970-01-01') DESC, lsn DESC) AS rn
+        FROM ev WHERE lsn < (SELECT mid FROM m))
+    WHERE rn = 1 AND op <> 'D')
+SELECT role, count(*) AS n_turns, count(DISTINCT conv_id) AS n_convs
+FROM s1 GROUP BY role ORDER BY role
+"""
+
+
 SQL_CDC_REPLAY = """
 WITH ev AS (
     SELECT CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
