@@ -139,3 +139,43 @@ def test_quality_thresholds_and_alert_levels(spark):
     assert table_quality_report(bad, thresholds=lenient)["passed"]
     # report is JSON-serializable (sink contract)
     json.dumps(rpt2)
+
+
+def test_concurrent_writers_thread_race(spark, tmp_path):
+    """TRUE concurrency: two threads committing batches to the same table
+    simultaneously. The manifest CAS serializes them; apply_batch's retry
+    re-reads the head per attempt, so every batch lands exactly once and
+    the snapshot lineage stays a single parent chain."""
+    import threading
+
+    root = str(tmp_path / "lake_race")
+    lake_a = LakeTable.create(spark, root, TRANSCRIPT_SCHEMA, num_buckets=4)
+    lake_b = LakeTable(spark, root)
+    errs = []
+
+    def writer(lake, sid, prefix, n):
+        try:
+            for i in range(n):
+                ev = make_events(
+                    spark,
+                    [("I", i, f"{prefix}{i}", 0, "user", f"txt-{prefix}{i}", None, 10 + i)],
+                )
+                apply_batch(lake, ev, i, stream_id=sid, max_commit_retries=10)
+        except Exception as e:  # pragma: no cover - failure path
+            errs.append(e)
+
+    t1 = threading.Thread(target=writer, args=(lake_a, "sa", "a", 3))
+    t2 = threading.Thread(target=writer, args=(lake_b, "sb", "b", 3))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+
+    state = {r["conv_id"]: r["text"] for r in lake_a.read().collect()}
+    assert state == {f"{p}{i}": f"txt-{p}{i}" for p in ("a", "b") for i in range(3)}
+
+    # lineage is one unbroken parent chain covering all six commits
+    head = lake_a.snapshot()
+    chain = [head["snapshot_id"]]
+    while head["parent"] is not None:
+        head = lake_a.snapshot(head["parent"])
+        chain.append(head["snapshot_id"])
+    assert chain == sorted(chain, reverse=True) and len(chain) == 7  # init + 6
