@@ -166,3 +166,34 @@ def test_mor_apply_runs_single_action_no_collect(spark, tmp_path, monkeypatch):
     res = apply_batch(lake, batch, batch_id=1, mode="mor")
     assert calls == {"collect": 0, "count": 0}, calls
     assert res["rows_written"] == 3 and res["buckets_touched"] >= 1
+
+
+def test_crash_between_compaction_write_and_commit(spark, tmp_path, wal_dir, monkeypatch):
+    """Crash after compaction wrote its new files but BEFORE the manifest
+    commit: readers still see the old (delta) state untouched — the
+    half-written epoch is orphan data only — and a re-run compaction
+    converges to the same state."""
+    from trde703_openfoodfacts_etl_spark.sources.lake import LakeTable as LT
+
+    lake = LakeTable.create(spark, str(tmp_path / "lake_crash"), TRANSCRIPT_SCHEMA, num_buckets=8)
+    run_incremental(lake, wal_dir, mode="mor")
+    before = lake_state_pdf(lake)
+    head_before = lake.snapshot()["snapshot_id"]
+
+    def boom(self, snap):
+        raise RuntimeError("simulated crash before manifest commit")
+
+    monkeypatch.setattr(LT, "_write_snapshot", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        lake.compact()
+    monkeypatch.undo()
+
+    # reader unaffected: head unchanged, state identical (deltas still live)
+    assert lake.snapshot()["snapshot_id"] == head_before
+    assert_states_equal(lake_state_pdf(lake), before)
+
+    # re-run compacts cleanly; state converges; orphans removable by vacuum
+    lake.compact()
+    assert_states_equal(lake_state_pdf(lake), before)
+    assert lake.vacuum(keep_snapshots=1)  # the crashed epoch's files go
+    assert_states_equal(lake_state_pdf(lake), before)
