@@ -138,3 +138,25 @@ def test_interval_join_plan_has_no_nested_loop(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "NestedLoop" not in plan, plan
+
+
+def test_asof_tolerance(spark):
+    out = asof_join(
+        _left(spark), _right(spark), on="key", left_ts="ts", right_ts="rts",
+        tolerance_seconds=3,
+    )
+    got = {(r.key, r.ev): r.state for r in out.collect()}
+    assert got == {
+        ("k1", 100): "s0",   # ts=1, rts=0 -> 1s stale, within 3s
+        ("k1", 101): "s5",   # exact match, 0s stale
+        ("k1", 102): "s7",   # ts=10, rts=7 -> 3s stale, inclusive bound
+        ("k2", 103): None,
+        ("k3", 104): None,
+    }
+    tight = asof_join(
+        _left(spark), _right(spark), on="key", left_ts="ts", right_ts="rts",
+        tolerance_seconds=0.5,
+    )
+    got_tight = {(r.key, r.ev): r.state for r in tight.collect()}
+    assert got_tight[("k1", 100)] is None   # 1s stale > 0.5s
+    assert got_tight[("k1", 101)] == "s5"   # exact match survives

@@ -50,12 +50,18 @@ def asof_join(
     right_ts: str,
     payload_cols: list[str] | None = None,
     strict: bool = False,
+    tolerance_seconds: float | None = None,
 ):
     """For every left row, attach the latest right row with
     ``right[right_ts] <= left[left_ts]`` (``<`` when ``strict``) sharing the
     key columns ``on``. Right payload columns are null when no right row
     precedes the left row (left-outer as-of semantics, matching DuckDB's
     ``LEFT ASOF JOIN``).
+
+    ``tolerance_seconds`` bounds staleness (pandas ``merge_asof``'s
+    ``tolerance``): a carried right row older than the bound is treated as
+    no match (payload nulled). Applied post-window — a pure projection, no
+    extra shuffle.
 
     ``right`` must be unique per (key, right_ts) — dedupe upstream if not,
     or the carried row among ties is unspecified.
@@ -70,16 +76,23 @@ def asof_join(
             "left columns — rename one side before joining"
         )
 
+    _RTS = "__asof_carried_rts"
+    with_rts = tolerance_seconds is not None
     l_tagged = left.withColumn(_SIDE, F.lit(1)).withColumn(
         _TS, F.col(left_ts).cast("timestamp")
     )
+    if with_rts:
+        l_tagged = l_tagged.withColumn(_RTS, F.lit(None).cast("timestamp"))
     # Left rows carry null payload slots; right rows carry only key+payload.
     for c in payload_cols:
         l_tagged = l_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
-    r_tagged = (
-        right.withColumn(_SIDE, F.lit(0))
-        .withColumn(_TS, F.col(right_ts).cast("timestamp"))
-        .select(*keys, _SIDE, _TS, *payload_cols)
+    r_tagged = right.withColumn(_SIDE, F.lit(0)).withColumn(
+        _TS, F.col(right_ts).cast("timestamp")
+    )
+    if with_rts:
+        r_tagged = r_tagged.withColumn(_RTS, F.col(right_ts).cast("timestamp"))
+    r_tagged = r_tagged.select(
+        *keys, _SIDE, _TS, *([_RTS] if with_rts else []), *payload_cols
     )
     for c in left.columns:
         if c not in r_tagged.columns:
@@ -91,11 +104,22 @@ def asof_join(
     # (side 0 sorts before side 1). Strict: left sorts first.
     order = [F.col(_TS).asc(), F.col(_SIDE).asc() if not strict else F.col(_SIDE).desc()]
     w = W.partitionBy(*keys).orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    carried = payload_cols + ([_RTS] if with_rts else [])
     filled = u.select(
-        *[c for c in cols if c not in payload_cols],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload_cols],
+        *[c for c in cols if c not in carried],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
     )
-    return filled.filter(F.col(_SIDE) == 1).drop(_SIDE, _TS)
+    out = filled.filter(F.col(_SIDE) == 1)
+    if with_rts:
+        fresh = (
+            F.col(_TS).cast("double") - F.col(_RTS).cast("double")
+        ) <= F.lit(float(tolerance_seconds))
+        out = out.select(
+            *[c for c in cols if c not in carried],
+            *[F.when(fresh, F.col(c)).alias(c) for c in payload_cols],
+        )
+        out = out.drop(_RTS)
+    return out.drop(_SIDE, _TS)
 
 
 def interval_join(
