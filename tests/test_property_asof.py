@@ -79,3 +79,50 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
     got = {int(row.ev): row.state for row in out.collect()}
     want = _pandas_asof(left, right)
     assert got == want
+
+
+interval_left = st.lists(
+    st.integers(min_value=0, max_value=40), min_size=1, max_size=10
+)
+interval_right = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),   # start
+        st.integers(min_value=0, max_value=25),   # length
+    ),
+    min_size=0,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(lts=interval_left, ivs=interval_right, bucket=st.sampled_from([3, 7, 100]))
+def test_interval_join_matches_naive(spark, lts, ivs, bucket):
+    """Bucketed interval join == the naive all-pairs range check, for ANY
+    timestamps, interval layouts (touching, nested, zero-length, disjoint)
+    and bucket width (smaller, comparable, and larger than the intervals)."""
+    from trde703_openfoodfacts_etl_spark.operators.asof import interval_join
+
+    left = spark.createDataFrame(
+        [(i, _ts(s)) for i, s in enumerate(lts)], "event_id int, ts timestamp"
+    )
+    rows = [(j, _ts(s), _ts(s + ln)) for j, (s, ln) in enumerate(ivs)]
+    right = spark.createDataFrame(
+        rows or [(None, None, None)], "iv_id int, start timestamp, fin timestamp"
+    )
+    if not rows:
+        right = right.filter("iv_id is not null")
+    got = sorted(
+        (r.event_id, r.iv_id)
+        for r in interval_join(left, right, "ts", "start", "fin", bucket_seconds=bucket).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, s in enumerate(lts)
+        for j, (rs, ln) in enumerate(ivs)
+        if rs <= s <= rs + ln
+    )
+    assert got == want
