@@ -55,7 +55,7 @@ def main() -> None:
         else:
             generate_segments(wal, n_convs=args.convs, n_events=args.events,
                               n_segments=args.segments)
-        print(f"[feed] generated {args.events} events in {wal}")
+        print(f"[feed] generated ~{args.events} events (requested; per-segment rounding may add a few) in {wal}")
     else:
         print(f"[feed] reusing {wal}")
 
