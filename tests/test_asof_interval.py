@@ -160,3 +160,33 @@ def test_asof_tolerance(spark):
     got_tight = {(r.key, r.ev): r.state for r in tight.collect()}
     assert got_tight[("k1", 100)] is None   # 1s stale > 0.5s
     assert got_tight[("k1", 101)] == "s5"   # exact match survives
+
+
+def test_asof_null_right_ts_never_matches(spark):
+    right = spark.createDataFrame(
+        [("k1", None, "phantom"), ("k1", _ts(2), "real")],
+        "key string, rts timestamp, state string",
+    )
+    left = spark.createDataFrame([("k1", _ts(1), 1), ("k1", _ts(3), 2)],
+                                 "key string, ts timestamp, ev int")
+    got = {r.ev: r.state for r in
+           asof_join(left, right, on="key", left_ts="ts", right_ts="rts").collect()}
+    # ts=1: nothing precedes it (the NULL-ts row must NOT act as -infinity)
+    assert got == {1: None, 2: "real"}
+
+
+def test_asof_carries_rows_atomically(spark):
+    """A matched right row with a legitimately-NULL payload column must not
+    have that column back-filled from an older right row."""
+    right = spark.createDataFrame(
+        [("k1", _ts(1), 100, "a"), ("k1", _ts(2), None, "b")],
+        "key string, rts timestamp, price int, tag string",
+    )
+    left = spark.createDataFrame([("k1", _ts(3), 1)], "key string, ts timestamp, ev int")
+    row = asof_join(left, right, on="key", left_ts="ts", right_ts="rts").collect()[0]
+    assert row.tag == "b" and row.price is None  # ts=2 row, NOT price from ts=1
+
+    # tolerance applies to the matched ROW's ts, never a mixed-in column's
+    tol = asof_join(left, right, on="key", left_ts="ts", right_ts="rts",
+                    tolerance_seconds=1).collect()[0]
+    assert tol.tag == "b" and tol.price is None  # ts=2 is 1s stale: fresh

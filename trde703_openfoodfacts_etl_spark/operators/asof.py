@@ -64,8 +64,11 @@ def asof_join(
     extra shuffle.
 
     ``right`` must be unique per (key, right_ts) — dedupe upstream if not,
-    or the carried row among ties is unspecified.
+    or the carried row among ties is unspecified. Right rows with a NULL
+    ``right_ts`` never match (DuckDB ASOF / pandas merge_asof semantics).
     """
+    from pyspark.sql import types as T
+
     keys = [on] if isinstance(on, str) else list(on)
     if payload_cols is None:
         payload_cols = [c for c in right.columns if c not in set(keys) | {right_ts}]
@@ -76,23 +79,34 @@ def asof_join(
             "left columns — rename one side before joining"
         )
 
-    _RTS = "__asof_carried_rts"
-    with_rts = tolerance_seconds is not None
-    l_tagged = left.withColumn(_SIDE, F.lit(1)).withColumn(
-        _TS, F.col(left_ts).cast("timestamp")
+    # The whole right payload is carried as ONE struct, so the window's
+    # last(ignoreNulls) moves right ROWS atomically — per-column carry would
+    # back-fill a legitimately-NULL payload column from an older right row,
+    # silently mixing columns of different versions. The matched row's own
+    # right_ts rides inside the struct for the tolerance check.
+    _RTSF = "__asof_rts"
+    _PAY = "__asof_payload"
+    pay_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in payload_cols]
+        + [T.StructField(_RTSF, T.TimestampType())]
     )
-    if with_rts:
-        l_tagged = l_tagged.withColumn(_RTS, F.lit(None).cast("timestamp"))
-    # Left rows carry null payload slots; right rows carry only key+payload.
-    for c in payload_cols:
-        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
-    r_tagged = right.withColumn(_SIDE, F.lit(0)).withColumn(
-        _TS, F.col(right_ts).cast("timestamp")
+    l_tagged = (
+        left.withColumn(_SIDE, F.lit(1))
+        .withColumn(_TS, F.col(left_ts).cast("timestamp"))
+        .withColumn(_PAY, F.lit(None).cast(pay_type))
     )
-    if with_rts:
-        r_tagged = r_tagged.withColumn(_RTS, F.col(right_ts).cast("timestamp"))
-    r_tagged = r_tagged.select(
-        *keys, _SIDE, _TS, *([_RTS] if with_rts else []), *payload_cols
+    r_tagged = (
+        right.filter(F.col(right_ts).isNotNull())  # NULL right_ts: no match
+        .withColumn(_SIDE, F.lit(0))
+        .withColumn(_TS, F.col(right_ts).cast("timestamp"))
+        .withColumn(
+            _PAY,
+            F.struct(
+                *[F.col(c) for c in payload_cols],
+                F.col(right_ts).cast("timestamp").alias(_RTSF),
+            ),
+        )
+        .select(*keys, _SIDE, _TS, _PAY)
     )
     for c in left.columns:
         if c not in r_tagged.columns:
@@ -104,22 +118,21 @@ def asof_join(
     # (side 0 sorts before side 1). Strict: left sorts first.
     order = [F.col(_TS).asc(), F.col(_SIDE).asc() if not strict else F.col(_SIDE).desc()]
     w = W.partitionBy(*keys).orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
-    carried = payload_cols + ([_RTS] if with_rts else [])
     filled = u.select(
-        *[c for c in cols if c not in carried],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+        *[c for c in cols if c != _PAY],
+        F.last(_PAY, ignorenulls=True).over(w).alias(_PAY),
     )
     out = filled.filter(F.col(_SIDE) == 1)
-    if with_rts:
+    pay = F.col(_PAY)
+    if tolerance_seconds is not None:
         fresh = (
-            F.col(_TS).cast("double") - F.col(_RTS).cast("double")
+            F.col(_TS).cast("double") - pay[_RTSF].cast("double")
         ) <= F.lit(float(tolerance_seconds))
-        out = out.select(
-            *[c for c in cols if c not in carried],
-            *[F.when(fresh, F.col(c)).alias(c) for c in payload_cols],
-        )
-        out = out.drop(_RTS)
-    return out.drop(_SIDE, _TS)
+        pay = F.when(fresh, pay)
+    return out.select(
+        *[c for c in cols if c not in (_PAY, _SIDE, _TS)],
+        *[pay[c].alias(c) for c in payload_cols],
+    )
 
 
 def interval_join(

@@ -65,7 +65,8 @@ def word_shingles(col, n: int = 3):
 def ngram_jaccard_pairs(df, text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, threshold: float = 0.8,
                         max_doc_freq: int | None = None,
-                        prefix_filter: bool = True):
+                        prefix_filter: bool = True,
+                        broadcast_candidates: bool = True):
     """All pairs with word-n-gram Jaccard ≥ threshold. EXACT output.
 
     Scale shape = prefix-filtered similarity join (Bayardo et al. AllPairs /
@@ -166,16 +167,26 @@ def ngram_jaccard_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     # first, then shingle just those. cand feeds two consumers (the id set
     # and the final join); localCheckpoint materializes the small candidate
     # list once instead of re-running the whole prefix pipeline per consumer
-    # (storage is executor-local and freed with the DataFrame).
+    # (storage is executor-local and freed with the DataFrame; on a
+    # dynamic-allocation cluster where executor loss must be survivable,
+    # swap for reliable .checkpoint() or accept the recompute).
     cand = cand.localCheckpoint(eager=False)
     cids = (
         cand.select(F.col("id_a").alias("_id"))
         .union(cand.select(F.col("id_b").alias("_id")))
         .distinct()
     )
+    # Candidate ids are broadcast on the fast path. CAVEAT for extreme
+    # corpora: the candidate set is not theoretically bounded (boilerplate-
+    # heavy corpora can implicate most docs); pass
+    # ``broadcast_candidates=False`` there to use a shuffle semi-join —
+    # AQE cannot size the checkpoint-backed subplan up front, so this is an
+    # explicit knob rather than a runtime decision.
+    if broadcast_candidates:
+        cids = F.broadcast(cids)
     csh = (
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
-        .join(F.broadcast(cids), "_id", "left_semi")
+        .join(cids, "_id", "left_semi")
         .select("_id", word_shingles(F.col("_t"), n).alias("_sh"))
     )
     sa = csh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))

@@ -132,7 +132,8 @@ def cosine_neardup_pairs_matmul(df, threshold: float, block_col: str,
         s = G[iu, ju]
         keep = s >= threshold  # NaN fails, matching the SQL form's null-drop
         return pd.DataFrame(
-            {"id_a": ids[iu[keep]], "id_b": ids[ju[keep]], "cos": s[keep]}
+            # round like the declarative form so the two are drop-in equal
+            {"id_a": ids[iu[keep]], "id_b": ids[ju[keep]], "cos": np.round(s[keep], 6)}
         )
 
     return df.groupBy(block_col).applyInPandas(kernel, out_schema)

@@ -1332,7 +1332,9 @@ def q42_train_val_split(spark, sf_dir):
     nibble '0' (≈1/16); per (split, lang) doc counts + token budget."""
     from ..functions.text import token_count_expr
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
     split = F.when(F.substring(F.md5("text"), 1, 1) == "0", "val").otherwise("train")
     return (
         d.select(split.alias("split"), "lang", token_count_expr(F.col("text")).alias("_t"))
@@ -1346,7 +1348,9 @@ SQL_Q42 = """
 SELECT CASE WHEN substr(md5(text), 1, 1) = '0' THEN 'val' ELSE 'train' END AS split,
        lang, count(*) AS n_docs,
        CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS tokens
-FROM documents GROUP BY 1, 2 ORDER BY split, lang
+FROM documents
+WHERE text IS NOT NULL AND trim(text) <> ''
+GROUP BY 1, 2 ORDER BY split, lang
 """
 
 

@@ -80,3 +80,11 @@ class LocalManifestIO:
 
     def remove(self, path: str) -> None:
         os.remove(path)
+
+    def remove_tree(self, path: str) -> None:
+        """Recursive delete (used only for epoch dirs that ended up empty —
+        an object store has no dirs, so the non-local impl is a prefix
+        delete of whatever marker objects the committer left)."""
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)

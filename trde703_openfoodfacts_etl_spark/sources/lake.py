@@ -312,6 +312,11 @@ class LakeTable:
                         "schema_id": schema_id,
                     }
                 )
+        if not entries:
+            # empty write (e.g. a fully-gated MOR batch): the epoch dir holds
+            # only a _SUCCESS marker and would otherwise sit orphaned forever
+            # (vacuum removes parquet files, not bare dirs)
+            self.io.remove_tree(out)
         return entries
 
     def commit(
