@@ -58,6 +58,17 @@ def test_ngram_jaccard_finds_near_dup(spark, docs):
     assert (0, 4) not in pairs and (4, 5) not in pairs
 
 
+def test_ngram_jaccard_shuffle_path_parity(spark, docs):
+    """broadcast_candidates=False (shuffle semi-join for unbounded candidate
+    sets) must produce the identical pair set as the broadcast fast path."""
+    fast = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    shuf = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(
+                docs, threshold=0.5, broadcast_candidates=False).collect()}
+    assert fast == shuf and (0, 1) in shuf
+
+
 def test_minhash_estimates_jaccard(spark, docs):
     sig = minhash_signatures(docs, num_hashes=64).collect()
     assert len(sig) == 6 and len([c for c in sig[0].asDict() if c.startswith("mh_")]) == 64
