@@ -190,3 +190,90 @@ def test_asof_carries_rows_atomically(spark):
     tol = asof_join(left, right, on="key", left_ts="ts", right_ts="rts",
                     tolerance_seconds=1).collect()[0]
     assert tol.tag == "b" and tol.price is None  # ts=2 is 1s stale: fresh
+
+
+def test_asof_skew_bucketed_matches_plain(spark):
+    """The hot-key escape hatch (skew_bucket_seconds) must be a pure
+    performance knob: identical output to the plain one-window form on a
+    single-hot-key fixture, including carry across empty buckets, strict
+    mode, tolerance, and NULL-ts rows."""
+    left_rows = [("hot", _ts(s), s) for s in range(0, 120, 3)] + [
+        ("cold", _ts(7), 999), ("hot", None, 998)]
+    right_rows = [("hot", _ts(s), f"s{s}") for s in (0, 5, 40, 41, 90)] + [
+        ("cold", _ts(2), "c2")]
+    left = spark.createDataFrame(left_rows, "key string, ts timestamp, ev int")
+    right = spark.createDataFrame(right_rows, "key string, rts timestamp, state string")
+    for kw in (
+        {},
+        {"strict": True},
+        {"tolerance_seconds": 10},
+        {"strict": True, "tolerance_seconds": 4},
+    ):
+        plain = {r.ev: r.state for r in asof_join(
+            left, right, on="key", left_ts="ts", right_ts="rts", **kw).collect()}
+        for bucket in (1, 7, 1000):
+            bucketed = {r.ev: r.state for r in asof_join(
+                left, right, on="key", left_ts="ts", right_ts="rts",
+                skew_bucket_seconds=bucket, **kw).collect()}
+            assert bucketed == plain, (kw, bucket)
+
+
+def test_asof_skew_bucketed_plan_partitions_by_bucket(spark):
+    """The bucketed form's main window must partition by (key, bucket) —
+    i.e. the hot key's rows genuinely spread across tasks — and the plain
+    form must stay window-only (no join)."""
+    left = spark.createDataFrame([("hot", _ts(1), 1)], "key string, ts timestamp, ev int")
+    right = spark.createDataFrame([("hot", _ts(0), "s")], "key string, rts timestamp, state string")
+    bucketed_plan = (
+        asof_join(left, right, on="key", left_ts="ts", right_ts="rts",
+                  skew_bucket_seconds=60)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "__asof_bucket" in bucketed_plan
+    plain_plan = (
+        asof_join(left, right, on="key", left_ts="ts", right_ts="rts")
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Join" not in plain_plan
+
+
+def test_interval_join_drops_inverted_and_null_intervals(spark):
+    """A right row with end < start (bad data / sentinel timestamps) or a
+    NULL bound must vanish cheaply — it can never satisfy the range
+    predicate, and without the pre-filter sequence(start, stop) would
+    explode it into |Δbucket|+1 rows before the filter."""
+    left = spark.createDataFrame([(1, _ts(50))], "event_id int, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, _ts(40), _ts(60)),            # sane: matches
+         (20, _ts(10_000_000), _ts(0)),     # inverted by ~10^7 s: must NOT explode
+         (30, None, _ts(60)),               # NULL start
+         (40, _ts(40), None)],              # NULL end
+        "iv_id int, start timestamp, fin timestamp",
+    )
+    out = interval_join(left, right, "ts", "start", "fin", bucket_seconds=60)
+    assert [(r.event_id, r.iv_id) for r in out.collect()] == [(1, 10)]
+    # the explode's input is pre-filtered: a Filter sits BELOW the Generate
+    # (plans print root-first, children after), so the inverted row never
+    # reaches the sequence explode
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Generate" in plan and "Filter" in plan
+    assert plan.index("Filter", plan.index("Generate")) > plan.index("Generate")
+
+
+def test_cosine_neardup_matmul_drops_null_blocks(spark):
+    """NULL-block rows must emit no pairs from the matmul kernel, matching
+    the declarative equi-join form (a.label = b.label drops NULLs)."""
+    from trde703_openfoodfacts_etl_spark.operators.similarity import (
+        cosine_neardup_pairs_matmul,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], None), (2, [1.0, 0.001], None),  # near-dup but NULL block
+        (3, [1.0, 0.0], "a"), (4, [1.0, 0.002], "a"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    mm = sorted((r.id_a, r.id_b) for r in
+                cosine_neardup_pairs_matmul(df, threshold=0.99, block_col="label").collect())
+    decl = sorted((r.id_a, r.id_b) for r in
+                  cosine_neardup_pairs(df, threshold=0.99, block_col="label").collect())
+    assert mm == decl == [(3, 4)]

@@ -19,8 +19,12 @@ never a join explosion:
 At 100 TB this is shuffle-optimal: volume is |left| + |right| rows exactly
 once, partitioned by key; a sort-merge or broadcast as-of would still need
 the same exchange plus an O(matches) join. Hot keys cost O(key size) in one
-task — for pathological single-key skew, pre-bucket by (key, time-range)
-and as-of within buckets carrying the last state of the previous bucket.
+task — for pathological single-key skew pass ``skew_bucket_seconds`` to
+pre-bucket by (key, time-range) and as-of within buckets, carrying the last
+right state of all previous buckets via a tiny per-(key, bucket) prefix
+window (the salting analog of the merge engine's (bucket, conv_id)
+repartition). Semantics are identical (property-tested); the hot key's work
+spreads across ceil(key_span / skew_bucket_seconds) tasks.
 
 Interval join (left.ts ∈ [right.start, right.end], **no equi key**) would
 fall to BroadcastNestedLoopJoin in vanilla Spark — O(|L|·|R|) comparisons.
@@ -51,6 +55,7 @@ def asof_join(
     payload_cols: list[str] | None = None,
     strict: bool = False,
     tolerance_seconds: float | None = None,
+    skew_bucket_seconds: int | None = None,
 ):
     """For every left row, attach the latest right row with
     ``right[right_ts] <= left[left_ts]`` (``<`` when ``strict``) sharing the
@@ -66,6 +71,20 @@ def asof_join(
     ``right`` must be unique per (key, right_ts) — dedupe upstream if not,
     or the carried row among ties is unspecified. Right rows with a NULL
     ``right_ts`` never match (DuckDB ASOF / pandas merge_asof semantics).
+    Left rows with a NULL ``left_ts`` always get a NULL payload (no match):
+    they sort nulls-first in the window, before every right row, and with a
+    tolerance set the freshness comparison is NULL too. This matches DuckDB
+    ASOF; pandas ``merge_asof`` would instead raise on NULL keys.
+
+    ``skew_bucket_seconds`` is the hot-key escape hatch: instead of one
+    window task per key (all rows of a pathological key in one task), rows
+    are sub-bucketed by ``floor(ts / skew_bucket_seconds)`` and the window
+    runs per (key, bucket); the right state carried into each bucket from
+    all earlier buckets is computed by a per-(key, bucket) aggregate plus a
+    prefix window over the (tiny) bucket summaries. Output is identical to
+    the plain form for every input (property-tested) — choose a bucket
+    width that splits the hottest key's time span into a few hundred
+    buckets.
     """
     from pyspark.sql import types as T
 
@@ -117,11 +136,59 @@ def asof_join(
     # Inclusive: a right row at the same ts is visible to the left row
     # (side 0 sorts before side 1). Strict: left sorts first.
     order = [F.col(_TS).asc(), F.col(_SIDE).asc() if not strict else F.col(_SIDE).desc()]
-    w = W.partitionBy(*keys).orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
-    filled = u.select(
-        *[c for c in cols if c != _PAY],
-        F.last(_PAY, ignorenulls=True).over(w).alias(_PAY),
-    )
+    if skew_bucket_seconds is None:
+        w = W.partitionBy(*keys).orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+        filled = u.select(
+            *[c for c in cols if c != _PAY],
+            F.last(_PAY, ignorenulls=True).over(w).alias(_PAY),
+        )
+    else:
+        _BKT = "__asof_bucket"
+        _BL = "__asof_bucket_last"
+        _CARRY = "__asof_carry"
+        u = u.withColumn(
+            _BKT, F.floor(F.col(_TS).cast("double") / F.lit(int(skew_bucket_seconds)))
+        )
+        # Within-bucket as-of: same window, partitioned by (key, bucket) —
+        # a hot key's rows now spread over its time buckets.
+        w_in = (
+            W.partitionBy(*keys, _BKT).orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+        )
+        in_bucket = u.select(
+            *[c for c in cols if c != _PAY],
+            F.col(_BKT),
+            F.last(_PAY, ignorenulls=True).over(w_in).alias(_PAY),
+        )
+        # Carry-in per bucket: the latest right payload of each (key, bucket)
+        # (max_by skips left rows — their ordering expr is NULL), then a
+        # prefix window over the bucket summaries (one row per key×bucket,
+        # tiny) takes the newest right state from all STRICTLY EARLIER
+        # buckets. A carried row is always strictly older than anything in
+        # the bucket (equal ts ⇒ equal bucket), so strict/inclusive modes
+        # need no extra handling.
+        bucket_last = u.groupBy(*keys, _BKT).agg(
+            F.max_by(_PAY, F.when(F.col(_SIDE) == 0, F.col(_TS))).alias(_BL)
+        )
+        w_carry = W.partitionBy(*keys).orderBy(_BKT).rowsBetween(W.unboundedPreceding, -1)
+        carry = bucket_last.withColumn(
+            _CARRY, F.last(_BL, ignorenulls=True).over(w_carry)
+        ).select(
+            *[F.col(k).alias(f"__c_{k}") for k in keys],
+            F.col(_BKT).alias("__c_bkt"),
+            _CARRY,
+        )
+        # Null-safe join: the plain window form groups NULL keys into one
+        # partition, so NULL keys must match NULL keys here too. NULL-ts
+        # left rows live in the NULL bucket, which sorts first in the carry
+        # window → carry NULL → payload NULL, same as the plain form.
+        cond = F.col(_BKT).eqNullSafe(F.col("__c_bkt"))
+        for k in keys:
+            cond = cond & F.col(k).eqNullSafe(F.col(f"__c_{k}"))
+        filled = (
+            in_bucket.join(carry, cond, "left")
+            .withColumn(_PAY, F.coalesce(F.col(_PAY), F.col(_CARRY)))
+            .drop(_BKT, _CARRY, "__c_bkt", *[f"__c_{k}" for k in keys])
+        )
     out = filled.filter(F.col(_SIDE) == 1)
     pay = F.col(_PAY)
     if tolerance_seconds is not None:
@@ -152,12 +219,23 @@ def interval_join(
     length: too small explodes right rows into many buckets, too large
     packs unrelated rows into one bucket. Both misconfigurations are
     correct, just slower.
+
+    Right rows with a NULL or inverted interval (``right_end < right_start``
+    — bad data, sentinel timestamps) are dropped before the bucket explode:
+    they can never satisfy the range predicate, and without the pre-filter
+    Spark's ``sequence(start, stop)`` on an inverted pair would generate a
+    DESCENDING bucket sequence, silently exploding one malformed row into
+    |start_bucket - end_bucket| + 1 rows before the exact filter drops them.
     """
     b = F.lit(bucket_seconds)
     l_b = left.withColumn(
         "__bucket", F.floor(F.col(left_ts).cast("timestamp").cast("double") / b)
     )
-    r_b = right.withColumn(
+    r_b = right.filter(
+        F.col(right_start).isNotNull()
+        & F.col(right_end).isNotNull()
+        & (F.col(right_start) <= F.col(right_end))
+    ).withColumn(
         "__bucket",
         F.explode(
             F.sequence(

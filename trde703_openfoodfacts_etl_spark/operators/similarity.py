@@ -108,7 +108,13 @@ def cosine_neardup_pairs_matmul(df, threshold: float, block_col: str,
     higher-order-function dot products. Each block must fit one executor
     task (m² score matrix): bound block sizes upstream (that is what the
     blocking key is for) or sub-block with LSH buckets.
+
+    NULL blocks are dropped (rows with ``block_col IS NULL`` emit no
+    pairs), exactly like the declarative form's equi-join on the block
+    key — without the filter, groupBy would lump all NULL-block rows into
+    one group and emit pairs the equi-join form never produces.
     """
+    df = df.filter(F.col(block_col).isNotNull())
     out_schema = T.StructType(
         [
             T.StructField("id_a", T.LongType()),
