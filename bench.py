@@ -70,6 +70,10 @@ def bench_cdc_replay(spark, sf_name: str, cores: int, mode: str = "cow") -> dict
         "batches": len(metrics),
         "wall_sec": round(wall, 3),
         "events_per_sec": round(n_events / wall, 1),
+        # per-batch phase breakdown (apply_batch phase_sec): separates plan /
+        # touched-scan / skinny-change-detect / payload-write / commit so a
+        # regressed wall number is attributable (VERDICT r2 item 1)
+        "phase_sec": [m.get("phase_sec") for m in metrics],
     }
     if mode == "mor":
         t1 = time.time()
@@ -83,6 +87,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf_name = os.path.basename(sf_dir.rstrip("/"))
+    flagship.sweep_stale_scratch(max_age_hours=0.0)  # wipe prior runs' temp lakes
     # 2x cores shuffle partitions: bounded per-task hash state without
     # over-parallelizing; AQE coalesces at runtime (see BENCH/BASELINE.md)
     spark = build_session(app_name="bench", cores=cores, shuffle_partitions=max(2 * cores, 16))

@@ -64,3 +64,27 @@ def test_quality_report_gates(spark, tmp_path, wal_dir):
     assert rpt["passed"]  # natural-key uniqueness 100%, roles valid
     assert rpt["uniqueness"]["duplicate_keys"] == 0
     assert rpt["rows"] > 0 and rpt["completeness"]["score"] > 0.7
+
+
+def test_run_stream_rejects_mid_stream_schema_evolution(spark, tmp_path):
+    """A v2 segment (added tool_meta, widened turn_idx) arriving under
+    run_stream's fixed v1 source schema must raise loudly instead of being
+    silently conformed (Spark streaming sources cannot change schema
+    mid-query; run_incremental is the evolving driver)."""
+    from trde703_openfoodfacts_etl_spark.schema import SchemaEvolutionError
+
+    wal = str(tmp_path / "wal")
+    generate_segments(wal, n_convs=50, n_events=3_000, n_segments=3, seed=11,
+                      v2_from_segment=2)
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    import pyspark.errors
+
+    with pytest.raises(
+        (SchemaEvolutionError, pyspark.errors.exceptions.base.PySparkException)
+    ) as ei:
+        run_stream(
+            lake, wal, CDC_SCHEMA, str(tmp_path / "ckpt"),
+            max_files_per_trigger=100,
+        )
+    # foreachBatch wraps user exceptions: the loud message must surface
+    assert "run_incremental" in str(ei.value) and "tool_meta" in str(ei.value)

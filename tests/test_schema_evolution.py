@@ -66,3 +66,69 @@ def test_mid_stream_evolution_replay(spark, tmp_path):
     # evolution is recorded in the manifest (lineage)
     snap = lake.snapshot()
     assert any("tool_meta:string" in e["added"] for e in snap["evolution"])
+
+
+def test_widen_decimal_lattice():
+    from decimal import Decimal  # noqa: F401
+
+    from trde703_openfoodfacts_etl_spark.schema import widen
+
+    # scale and integral width both max out
+    assert widen(T.DecimalType(3, 2), T.DecimalType(10, 2)) == T.DecimalType(10, 2)
+    assert widen(T.DecimalType(5, 4), T.DecimalType(10, 2)) == T.DecimalType(12, 4)
+    # int → decimal joins as decimal(digits, 0)
+    assert widen(T.IntegerType(), T.DecimalType(3, 2)) == T.DecimalType(12, 2)
+    assert widen(T.DecimalType(10, 2), T.LongType()) == T.DecimalType(22, 2)
+    # same type is a no-op
+    assert widen(T.DecimalType(10, 2), T.DecimalType(10, 2)) == T.DecimalType(10, 2)
+    # beyond Spark's 38-digit cap, or decimal × float/string: incompatible
+    assert widen(T.DecimalType(38, 0), T.DecimalType(10, 2)) is None
+    assert widen(T.DecimalType(10, 2), T.DoubleType()) is None
+    assert widen(T.DecimalType(10, 2), T.StringType()) is None
+
+
+def test_decimal_column_evolves_through_lake(spark, tmp_path):
+    """A CDC feed that adds a decimal(3,2) column mid-stream and then widens
+    it to decimal(10,2) must round-trip through the lake: old rows read as
+    typed nulls, early decimal files re-cast to the widened type on read
+    (the reference's decimal(3,2) completeness score, etl/utils/quality.py:33,
+    arriving as an evolved column)."""
+    from decimal import Decimal
+
+    from trde703_openfoodfacts_etl_spark.operators.merge import apply_batch
+
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    base = "op string, lsn long, event_ts timestamp, conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    t0 = __import__("datetime").datetime(2024, 1, 1)
+
+    b0 = spark.createDataFrame([("U", 1, t0, "c1", 0, "user", "hi", None, t0)], base)
+    apply_batch(lake, b0, 0)
+
+    b1 = spark.createDataFrame(
+        [("U", 2, t0, "c2", 0, "user", "yo", None, t0, Decimal("0.95"))],
+        base + ", score decimal(3,2)",
+    )
+    apply_batch(lake, b1, 1)
+    assert isinstance(
+        {f.name: f for f in lake.user_schema().fields}["score"].dataType, T.DecimalType
+    )
+
+    b2 = spark.createDataFrame(
+        [("U", 3, t0, "c3", 0, "user", "hey", None, t0, Decimal("12345678.25"))],
+        base + ", score decimal(10,2)",
+    )
+    apply_batch(lake, b2, 2)
+    by_name = {f.name: f for f in lake.user_schema().fields}
+    assert by_name["score"].dataType == T.DecimalType(10, 2)
+
+    got = {r.conv_id: r.score for r in lake.read().collect()}
+    assert got == {
+        "c1": None,                      # written before the column existed
+        "c2": Decimal("0.95"),           # decimal(3,2) file cast to (10,2) on read
+        "c3": Decimal("12345678.25"),
+    }
+    snap = lake.snapshot()
+    assert any("score:decimal(3,2)" in e["added"] for e in snap["evolution"])
+    assert any(
+        "score:decimal(3,2)->decimal(10,2)" in e["widened"] for e in snap["evolution"]
+    )

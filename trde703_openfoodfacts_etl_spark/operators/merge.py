@@ -247,7 +247,7 @@ def _apply_batch_once(
             winners, snap["snapshot_id"] + 1, snap["schema_id"], files_per_bucket
         )
         pre = _obs_pre()
-        _t["a1_touched"] = time.time()
+        _t["delta_write"] = time.time()
         if not replaced:
             return _commit_empty(pre)
         rows_written = sum(fe["rows"] for fs in replaced.values() for fe in fs)
@@ -272,40 +272,69 @@ def _apply_batch_once(
             metrics, append=True, stream_hwm=segment_hwm,
             watermark_ts=_batch_watermark(pre),
         )
+        _t["commit"] = time.time()
+        ks = list(_t)
+        metrics["phase_sec"] = {
+            ks[i]: round(_t[ks[i]] - _t[ks[i - 1]], 3) for i in range(1, len(ks))
+        }
         metrics["snapshot_id"] = new_snap["snapshot_id"]
         return metrics
 
-    # ---- action 1 (COW only): touched buckets (narrow scan — conv_id only) ---
-    # COW needs the touched set BEFORE the merge to prune the current-state
-    # read to only the buckets this batch can change.
+    # ---- action 1 (COW only): skinny in-batch LWW pre-aggregate --------------
+    # ONE narrow scan of the batch serves BOTH the touched-bucket set and the
+    # change detection: the per-key in-batch winner (row-hash, tombstone flag,
+    # order key — ~40 bytes/key, never the payload) is materialized via an
+    # eager localCheckpoint, so deriving the touched buckets and merging
+    # against current state never re-scan the batch input. COW thus scans the
+    # batch exactly twice end-to-end: here (skinny) and in action 3 (payload).
+    # LWW is associative, so pre-deduping the batch then merging with state is
+    # identical to merging raw events; map-side partial aggregation reduces
+    # hot keys before the exchange either way.
+    sk_batch = (
+        env.select(
+            *KEY_COLS,
+            F.when(F.col("op") == "D", F.lit(None).cast("long"))
+            .otherwise(row_hash_expr(payload_cols))
+            .alias("_h"),
+            (F.col("op") == "D").alias("_d"),
+            F.coalesce(F.col("ts"), F.expr(_TS_FLOOR)).alias("_ts"),
+            F.col("lsn").alias("_lsn_w"),
+        )
+        .groupBy(*KEY_COLS)
+        .agg(
+            F.max_by(
+                F.struct("_h", "_d", "_ts", "_lsn_w"),
+                F.struct(F.col("_ts"), F.col("_lsn_w")),
+            ).alias("_w"),
+            F.count(F.lit(1)).alias("_n_events"),
+            F.max("_lsn_w").alias("_max_lsn"),
+        )
+        .select(
+            *KEY_COLS,
+            F.col("_w._h").alias("_h"),
+            F.col("_w._d").alias("_d"),
+            F.col("_w._ts").alias("_ts"),
+            F.col("_w._lsn_w").alias("_lsn_w"),
+            "_n_events",
+            "_max_lsn",
+            F.lit("new").alias("_src"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pre = _obs_pre()
     touched = sorted(
-        r[0]
-        for r in env.select(bucket_expr(num_buckets).alias(META_BUCKET))
+        int(r[0])
+        for r in sk_batch.select(bucket_expr(num_buckets).alias(META_BUCKET))
         .distinct()
         .collect()
     )
-    pre = _obs_pre()
     _t["a1_touched"] = time.time()
     if not touched:
         return _commit_empty(pre)
 
     # ---- action 2: skinny change detection (hash-only, no payload moves) -----
-    # Raw batch events union current state → ONE LWW aggregate (LWW is
-    # associative: merging raw events directly is identical to pre-deduping
-    # then merging, and saves a full shuffle). Map-side partial aggregation
-    # still reduces hot keys before the exchange.
-    sk_batch = env.select(
-        *KEY_COLS,
-        F.when(F.col("op") == "D", F.lit(None).cast("long"))
-        .otherwise(row_hash_expr(payload_cols))
-        .alias("_h"),
-        (F.col("op") == "D").alias("_d"),
-        F.coalesce(F.col("ts"), F.expr(_TS_FLOOR)).alias("_ts"),
-        F.col("lsn").alias("_lsn_w"),
-        F.lit(1).cast("long").alias("_n_events"),
-        F.col("lsn").alias("_max_lsn"),
-        F.lit("new").alias("_src"),
-    )
+    # Checkpointed batch winners union current state of touched buckets →
+    # one LWW aggregate; output: per-bucket changed/live/dead counts + HWMs.
     sk_cur = (
         lake.read(buckets=list(touched), include_deleted=True, with_meta=True, snap=snap)
         .select(

@@ -14,13 +14,62 @@ converge to the same state — which is precisely what the oracle checks.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "_scratch")
+
+# One live temp lake per query family, swept at process exit. The returned
+# DataFrame reads the lake lazily, so the lake must outlive the call — but a
+# REPEATED call to the same query in one process means the caller is done
+# with the previous result, so its lake is dropped then (bounded _scratch
+# growth under repeated `queries()` runs); everything left dies via atexit.
+_live_roots: dict[str, str] = {}
+
+
+def _scratch_lake_root(prefix: str) -> str:
+    os.makedirs(SCRATCH, exist_ok=True)
+    prev = _live_roots.pop(prefix, None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    root = tempfile.mkdtemp(prefix=prefix, dir=SCRATCH)
+    _live_roots[prefix] = root
+    return root
+
+
+@atexit.register
+def _cleanup_scratch_lakes() -> None:
+    while _live_roots:
+        shutil.rmtree(_live_roots.popitem()[1], ignore_errors=True)
+
+
+def sweep_stale_scratch(max_age_hours: float = 6.0) -> int:
+    """Remove leftover ``cdc_*`` temp lakes from PRIOR processes (crashes,
+    kills) older than ``max_age_hours``. Called at bench start; safe to call
+    anywhere — this process's own live lakes are always skipped."""
+    import time
+
+    removed = 0
+    if not os.path.isdir(SCRATCH):
+        return 0
+    cutoff = time.time() - max_age_hours * 3600.0
+    live = set(_live_roots.values())
+    for name in os.listdir(SCRATCH):
+        p = os.path.join(SCRATCH, name)
+        if (
+            name.startswith(("cdc_replay_", "cdc_changes_", "cdc_tt_"))
+            and p not in live
+            and os.path.isdir(p)
+            and os.path.getmtime(p) < cutoff
+        ):
+            shutil.rmtree(p, ignore_errors=True)
+            removed += 1
+    return removed
 
 EVENT_LAKE_SCHEMA = T.StructType(
     [
@@ -51,8 +100,7 @@ def cdc_replay(spark, sf_dir: str, n_batches: int = 3):
     from ..operators.merge import apply_batch
     from ..sources.lake import LakeTable
 
-    os.makedirs(SCRATCH, exist_ok=True)
-    root = tempfile.mkdtemp(prefix="cdc_replay_", dir=SCRATCH)
+    root = _scratch_lake_root("cdc_replay_")
     lake = LakeTable.create(spark, root, EVENT_LAKE_SCHEMA, num_buckets=8)
     ev = _as_cdc(spark.read.parquet(f"{sf_dir}/events.parquet"))
     # contiguous lsn ranges, not pmod: each batch's scan prunes parquet row
@@ -81,8 +129,7 @@ def cdc_changes(spark, sf_dir: str):
     from ..operators.merge import apply_batch
     from ..sources.lake import LakeTable
 
-    os.makedirs(SCRATCH, exist_ok=True)
-    root = tempfile.mkdtemp(prefix="cdc_changes_", dir=SCRATCH)
+    root = _scratch_lake_root("cdc_changes_")
     lake = LakeTable.create(spark, root, EVENT_LAKE_SCHEMA, num_buckets=8)
     ev = _as_cdc(spark.read.parquet(f"{sf_dir}/events.parquet"))
     lo, hi = ev.agg(F.min("lsn"), F.max("lsn")).first()
@@ -177,8 +224,7 @@ def cdc_time_travel(spark, sf_dir: str):
     from ..operators.merge import apply_batch
     from ..sources.lake import LakeTable
 
-    os.makedirs(SCRATCH, exist_ok=True)
-    root = tempfile.mkdtemp(prefix="cdc_tt_", dir=SCRATCH)
+    root = _scratch_lake_root("cdc_tt_")
     lake = LakeTable.create(spark, root, EVENT_LAKE_SCHEMA, num_buckets=8)
     ev = _as_cdc(spark.read.parquet(f"{sf_dir}/events.parquet"))
     lo, hi = ev.agg(F.min("lsn"), F.max("lsn")).first()

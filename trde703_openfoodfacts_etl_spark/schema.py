@@ -95,10 +95,43 @@ _WIDEN: dict[tuple[str, str], T.DataType] = {
 }
 
 
+#: max base-10 digits an integral type can need (for int→decimal widening)
+_INT_DIGITS = {"byte": 3, "short": 5, "integer": 10, "long": 20}
+
+
+def _widen_decimal(a: T.DataType, b: T.DataType) -> T.DataType | None:
+    """Decimal lattice (reference uses decimal(3,2) completeness scores,
+    etl/utils/quality.py:33, and DECIMAL(10,2) facts,
+    sql/ddl/02_create_facts.sql:14-23): the merged type keeps the max scale
+    and the max integral width — decimal(p1,s1) ∨ decimal(p2,s2) =
+    decimal(max(p1-s1, p2-s2) + max(s1,s2), max(s1,s2)); integral types join
+    as decimal(digits, 0). Exceeding Spark's 38-digit cap, or mixing decimal
+    with float/double/string, is incompatible (never silently lose
+    precision) → None, which merge_schemas turns into SchemaEvolutionError.
+    """
+
+    def ps(t: T.DataType) -> tuple[int, int] | None:
+        if isinstance(t, T.DecimalType):
+            return t.precision, t.scale
+        d = _INT_DIGITS.get(t.typeName())
+        return (d, 0) if d is not None else None
+
+    pa, pb = ps(a), ps(b)
+    if pa is None or pb is None:
+        return None
+    scale = max(pa[1], pb[1])
+    integral = max(pa[0] - pa[1], pb[0] - pb[1])
+    if integral + scale > 38:
+        return None
+    return T.DecimalType(integral + scale, scale)
+
+
 def widen(a: T.DataType, b: T.DataType) -> T.DataType | None:
     """Least common widened type of a and b, or None if incompatible."""
     if a == b:
         return a
+    if isinstance(a, T.DecimalType) or isinstance(b, T.DecimalType):
+        return _widen_decimal(a, b)
     key = (a.typeName(), b.typeName())
     if key in _WIDEN:
         return _WIDEN[key]

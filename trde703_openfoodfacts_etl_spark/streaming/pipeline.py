@@ -31,7 +31,7 @@ import os
 import re
 
 from ..operators.merge import apply_batch
-from ..schema import arrow_schema_of_parquet, merge_schemas
+from ..schema import SchemaEvolutionError, arrow_schema_of_parquet, merge_schemas, widen
 from ..sources.lake import LakeTable
 
 
@@ -165,6 +165,14 @@ def run_stream(
     Runs with the available-now trigger (drains everything currently in the
     WAL directory, then stops) so tests and bench runs are synchronous; a
     production deployment drops the trigger for continuous tailing.
+
+    A Spark streaming source cannot change schema mid-query, so the declared
+    ``source_schema`` is fixed — a segment whose parquet footer carries
+    columns (or wider types) the declared schema lacks would be SILENTLY
+    conformed (extra columns dropped). Each microbatch therefore verifies
+    its input files' footers against the declared schema and raises
+    :class:`SchemaEvolutionError` pointing to :func:`run_incremental` (the
+    driver that evolves schema live) instead of dropping data.
     """
     spark = lake.spark
     stream = (
@@ -173,8 +181,38 @@ def run_stream(
         .parquet(segments_dir)
     )
     metrics: list[dict] = []
+    declared = {f.name: f.dataType for f in source_schema.fields}
+    checked: set[str] = set()
+
+    def _assert_footer_schemas():
+        # The micro-batch DataFrame doesn't expose its input files, so check
+        # every segment currently listed in the WAL dir (cached per file):
+        # strictly earlier than the batch that would read it, never later.
+        for p in list_segments(segments_dir):
+            if p in checked:
+                continue
+            footer = arrow_schema_of_parquet(p)
+            extra = [f.name for f in footer.fields if f.name not in declared]
+            wider = [
+                f.name
+                for f in footer.fields
+                if f.name in declared
+                and f.dataType != declared[f.name]
+                and widen(declared[f.name], f.dataType) != declared[f.name]
+            ]
+            if extra or wider:
+                raise SchemaEvolutionError(
+                    f"run_stream: segment {p} evolved beyond the declared "
+                    f"source schema (new columns {extra}, widened {wider}); "
+                    "a fixed-schema streaming source would silently drop "
+                    "them — use run_incremental, which evolves the lake "
+                    "schema per batch, or restart run_stream with the new "
+                    "superset schema"
+                )
+            checked.add(p)
 
     def _apply(batch_df, batch_id: int):
+        _assert_footer_schemas()
         df = transform(batch_df) if transform is not None else batch_df
         metrics.append(apply_batch(lake, df, batch_id, stream_id=stream_id))
 
