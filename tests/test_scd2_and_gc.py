@@ -179,3 +179,58 @@ def test_concurrent_writers_thread_race(spark, tmp_path):
         head = lake_a.snapshot(head["parent"])
         chain.append(head["snapshot_id"])
     assert chain == sorted(chain, reverse=True) and len(chain) == 7  # init + 6
+
+
+def test_key_history_long_chain_guard(spark, tmp_path):
+    """A key updated in many snapshots: history works up to max_versions and
+    raises (instead of ballooning the driver with unions/collects) beyond it."""
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, num_buckets=2)
+    n = 25
+    for i in range(n):
+        apply_batch(
+            lake, make_events(spark, [("U", i + 1, "hot", 0, "user", f"v{i}", None, 100 + i)]), i
+        )
+    hist = lake.key_history("hot", 0).orderBy("valid_from_snapshot").collect()
+    assert [r["text"] for r in hist] == [f"v{i}" for i in range(n)]
+    assert hist[-1]["is_current"]
+    with pytest.raises(ValueError, match="max_versions"):
+        lake.key_history("hot", 0, max_versions=10)
+
+
+def test_auto_vacuum_bounds_files_keeps_travel_window(spark, tmp_path):
+    """run_incremental(auto_vacuum_every=...) keeps manifest + data file
+    counts bounded during long ingest, final state stays oracle-equal, and
+    time travel still works inside the keep window."""
+    import glob
+    import os
+
+    from trde703_openfoodfacts_etl_spark.sources.genfeed import generate_segments
+    from trde703_openfoodfacts_etl_spark.streaming.pipeline import run_incremental
+    from helpers import assert_states_equal, duckdb_replay_oracle, lake_state_pdf
+
+    wal = str(tmp_path / "wal")
+    generate_segments(wal, n_convs=80, n_events=6_000, n_segments=8, seed=3)
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    run_incremental(lake, wal, segments_per_batch=1,
+                    auto_vacuum_every=2, vacuum_keep_snapshots=3)
+
+    manifests = glob.glob(os.path.join(str(tmp_path / "lake"), "manifests", "snapshot-*.json"))
+    assert 1 <= len(manifests) <= 4  # keep window (+ at most one post-vacuum commit)
+    # every remaining data file is referenced by a kept snapshot (no orphans)
+    data_files = glob.glob(os.path.join(str(tmp_path / "lake"), "data", "**", "*.parquet"),
+                           recursive=True)
+    live = set()
+    n_buckets = 0
+    for m in manifests:
+        s = json.load(open(m))
+        n_buckets = len(s["buckets"])
+        for b in s["buckets"].values():
+            live.update(fe["path"] for fe in b["files"])
+    assert len(data_files) <= len(live) + n_buckets
+    # state equals the oracle after vacuuming mid-ingest
+    assert_states_equal(lake_state_pdf(lake), duckdb_replay_oracle(f"{wal}/*.parquet"))
+    # time travel within the keep window still resolves
+    lineage = lake.snapshot_lineage()
+    assert 1 <= len(lineage) <= 4
+    past = lake.read(snapshot_id=lineage[0]["snapshot_id"])
+    assert past.count() > 0

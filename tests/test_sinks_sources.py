@@ -99,3 +99,34 @@ def test_inspect_lake_manifest_only(spark, tmp_path):
     )
     assert out.returncode == 0
     assert json.loads(out.stdout)["current_snapshot"] == 2
+
+
+def test_jdbc_sink_roundtrip_derby(spark, tmp_path):
+    """EXECUTED JDBC endpoint (reference S4, etl/silver_to_gold.py:48-61):
+    Spark bundles the Derby driver, so the sink writes a real database —
+    append mode, batchsize option, then read back via spark.read.jdbc and
+    compare values. Graduates S4 from plan-construction-only to exercised."""
+    url = f"jdbc:derby:{tmp_path}/gold_db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver", "batchsize": "500"}
+    rows = [("c1", 0, "user", "hello"), ("c1", 1, "assistant", "hi there"),
+            ("c2", 0, "user", "yo")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+
+    sink = JdbcSink(url, "transcripts_gold", mode="append", properties=props)
+    out = sink.write(df, 0)
+    assert out == {"batch_id": 0, "table": "transcripts_gold"}
+
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "transcripts_gold")
+        .option("driver", props["driver"])
+        .load()
+    )
+    got = sorted((r.CONV_ID, r.TURN_IDX, r.ROLE, r.TEXT) if hasattr(r, "CONV_ID")
+                 else (r.conv_id, r.turn_idx, r.role, r.text) for r in back.collect())
+    assert got == sorted(rows)
+
+    # append mode really appends (second batch doubles the rows)
+    sink.write(df, 1)
+    assert back.count() == 6

@@ -75,3 +75,28 @@ def test_t2_scale_replay(spark, tmp_path):
         [r["count"] for r in lake.read().groupBy("conv_id").count().collect()]
     ))
     assert per_conv[0]["count"] >= 10 * max(med, 1)
+
+
+def test_percentile_sketch_is_bounded_memory_plan(spark, sf_dir):
+    """q46's aggregate must be the mergeable approx_percentile sketch (the
+    100-TB path), never q35's whole-group value buffer, and its in-query
+    rank-error verification must hold on real data."""
+    from trde703_openfoodfacts_etl_spark.plans.analytics import (
+        q35_percentiles,
+        q46_percentile_sketch,
+    )
+
+    spark.conf.set("spark.sql.debug.maxToStringFields", "1000")
+    df = q46_percentile_sketch(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "percentile_approx" in plan or "approx_percentile" in plan
+    stripped = plan.replace("percentile_approx(", "").replace("approx_percentile(", "")
+    assert "percentile(" not in stripped  # no whole-group value-buffer agg
+    rows = df.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.p25_in_bound and r.p50_in_bound and r.p75_in_bound and r.p95_in_bound
+    # and the sketch agrees with the exact form far tighter than the bound
+    exact = {r.l_returnflag: (r.p25, r.p50, r.p75, r.p95)
+             for r in q35_percentiles(spark, sf_dir).collect()}
+    assert set(exact) == {r.l_returnflag for r in rows}

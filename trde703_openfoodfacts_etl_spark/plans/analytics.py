@@ -1059,6 +1059,64 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q46_percentile_sketch(spark, sf_dir):
+    """Bounded-memory percentiles — the 100-TB path q35 documents:
+    ``approx_percentile`` (Greenwald-Khanna sketch; mergeable, per-task
+    memory O(accuracy·log n) instead of q35's O(group size) value buffer).
+
+    The sketch value can't hash-match a DuckDB approx oracle, so the gate
+    verifies the sketch's CONTRACT exactly instead: each returned quantile's
+    true rank interval (computed by a second exact pass) must intersect
+    [p·n − n/accuracy − 1, p·n + n/accuracy + 1]. The query returns one
+    boolean per quantile per group; the oracle is the all-true table —
+    hash equality then proves the rank-error bound held on real data.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    acc = 1000
+    ap = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", [0.25, 0.5, 0.75, 0.95], acc
+        ).alias("_ap"),
+        F.count("l_extendedprice").alias("_n"),
+    )
+    q = ap.select(
+        "l_returnflag", "_n", F.posexplode("_ap").alias("_qi", "_val")
+    ).withColumn("_p", F.element_at(F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.95)]), F.col("_qi") + 1))
+    # exact rank interval of the sketch's value: [#(< val)+1, #(<= val)]
+    ranks = (
+        li.join(F.broadcast(q), "l_returnflag")
+        .groupBy("l_returnflag", "_qi", "_p", "_n")
+        .agg(
+            F.sum((F.col("l_extendedprice") < F.col("_val")).cast("long")).alias("_lt"),
+            F.sum((F.col("l_extendedprice") <= F.col("_val")).cast("long")).alias("_le"),
+        )
+    )
+    eps = F.col("_n") / F.lit(acc) + F.lit(1.0)
+    target = F.col("_p") * F.col("_n")
+    ok = (F.col("_lt") + 1 <= target + eps) & (F.col("_le") >= target - eps)
+    return (
+        ranks.withColumn("_ok", ok)
+        .groupBy("l_returnflag")
+        .pivot("_qi", [0, 1, 2, 3])
+        .agg(F.first("_ok"))
+        .select(
+            "l_returnflag",
+            F.col("0").alias("p25_in_bound"),
+            F.col("1").alias("p50_in_bound"),
+            F.col("2").alias("p75_in_bound"),
+            F.col("3").alias("p95_in_bound"),
+        )
+    )
+
+
+SQL_Q46 = """
+SELECT l_returnflag,
+       true AS p25_in_bound, true AS p50_in_bound,
+       true AS p75_in_bound, true AS p95_in_bound
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q36_scd2_intervals(spark, sf_dir):
     """SCD2 version intervals from a CDC feed (the reference's
     effective_from/effective_to/is_current row versioning,
@@ -1453,4 +1511,10 @@ REGISTRY: dict[str, tuple] = {
         lambda spark, sf_dir: _flagship.cdc_time_travel(spark, sf_dir),
         _flagship.SQL_CDC_TIME_TRAVEL,
     ),
+    "q46_percentile_sketch": (q46_percentile_sketch, SQL_Q46),
 }
+
+# q47–q53: reference transcript analytics over replayed lake state
+from .transcript_gate import GATE_REGISTRY as _TG  # noqa: E402
+
+REGISTRY.update(_TG)

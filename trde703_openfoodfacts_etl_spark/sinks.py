@@ -14,8 +14,9 @@ Every sink takes the *transformed* batch DataFrame; idempotence contracts:
   overwrite semantics on redelivery).
 - :class:`JdbcSink` — the reference's S4: append/overwrite via the Spark
   JDBC writer. At-least-once unless the target table has a key and the
-  mode is merge-on-key (left to the database). No JDBC driver ships in
-  this sandbox, so using it without one fails loudly at ``.save()``.
+  mode is merge-on-key (left to the database). Exercised end-to-end in
+  tests against embedded Derby (Spark bundles its driver); other targets
+  need their driver jar on the classpath or ``.save()`` fails loudly.
 - :class:`ConsoleSink` — debug (reference S9).
 """
 
@@ -68,10 +69,10 @@ class ParquetDirSink:
 class JdbcSink:
     """Reference-parity JDBC sink (S4, etl/silver_to_gold.py:48-61).
 
-    Builds the standard Spark JDBC writer plan; everything up to ``.save()``
-    is plain public API. The sandbox has no JDBC driver/database, so
-    ``write`` raises whatever the JVM raises at connect time — the seam is
-    real, the endpoint isn't provisioned here."""
+    Builds the standard Spark JDBC writer; round-tripped in tests against
+    embedded Derby (append mode + batchsize), so the endpoint is executed,
+    not just planned. Against a driverless URL ``write`` raises whatever
+    the JVM raises at connect time — never a silent no-op."""
 
     def __init__(self, url: str, table: str, mode: str = "append",
                  properties: dict[str, str] | None = None):

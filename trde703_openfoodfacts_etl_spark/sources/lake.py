@@ -457,13 +457,19 @@ class LakeTable:
     # -- SCD2 / history ------------------------------------------------------
 
     def snapshot_lineage(self) -> list[dict]:
-        """Snapshot chain root → latest (parent pointers, time travel axis)."""
+        """Snapshot chain root → latest (parent pointers, time travel axis).
+        Stops at the retention horizon: a parent manifest removed by
+        :meth:`vacuum` ends the chain (history beyond the keep window is
+        gone by policy, not an error)."""
         chain = [self.snapshot()]
         while chain[-1]["parent"] is not None:
-            chain.append(self.snapshot(chain[-1]["parent"]))
+            try:
+                chain.append(self.snapshot(chain[-1]["parent"]))
+            except FileNotFoundError:
+                break  # vacuumed beyond retention
         return list(reversed(chain))
 
-    def key_history(self, conv_id: str, turn_idx: int):
+    def key_history(self, conv_id: str, turn_idx: int, max_versions: int = 10_000):
         """Per-key SCD2 version history across the snapshot lineage.
 
         The reference tracks row versions with effective_from/effective_to/
@@ -474,7 +480,10 @@ class LakeTable:
         snapshots where that bucket's file list actually changed (unchanged
         bucket ⇒ unchanged version). One Spark job (a union over the changed
         snapshots); interval stitching is driver-side over ≤ lineage-length
-        rows. Returns a DataFrame: one row per distinct version with
+        rows, bounded by ``max_versions`` — a pathological key whose bucket
+        changed in more snapshots than that raises instead of ballooning the
+        driver (vacuum the lineage, or use read_asof for point lookups).
+        Returns a DataFrame: one row per distinct version with
         valid_from/valid_to snapshot ids + commit times and is_current.
         """
         chain = self.snapshot_lineage()
@@ -492,6 +501,13 @@ class LakeTable:
             if files == prev_files:
                 continue
             prev_files = files
+            if len(reads) >= max_versions:
+                raise ValueError(
+                    f"key_history({conv_id!r}, {turn_idx}): bucket {b} changed "
+                    f"in more than max_versions={max_versions} snapshots; "
+                    "raise max_versions, vacuum the lineage, or use "
+                    "read_asof for point-in-time lookups"
+                )
             df = self.read(
                 snap=snap, buckets=[b], include_deleted=True, with_meta=True
             ).filter(

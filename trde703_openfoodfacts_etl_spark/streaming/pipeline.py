@@ -103,6 +103,8 @@ def run_incremental(
     files_per_bucket: int = 1,
     mode: str = "cow",
     auto_compact_after: int | None = None,
+    auto_vacuum_every: int | None = None,
+    vacuum_keep_snapshots: int = 4,
 ) -> list[dict]:
     """Tail the WAL directory batch by batch; resumable + idempotent.
 
@@ -119,6 +121,11 @@ def run_incremental(
     (e.g. vectorized text normalization / quality columns) before the merge.
     ``auto_compact_after`` (MOR): fold buckets down once their delta file
     count exceeds the threshold (bounds read amplification during ingest).
+    ``auto_vacuum_every``: every K applied batches, drop snapshots (and the
+    data files only they reference) beyond the newest
+    ``vacuum_keep_snapshots`` — long-running ingest keeps a bounded file
+    count while time travel stays available inside the keep window (the
+    maintenance-job analog of ``maybe_compact``).
     """
     segs = list_segments(segments_dir)
     hwm = lake.last_segment_hwm(stream_id)
@@ -148,6 +155,8 @@ def run_incremental(
         )
         if auto_compact_after is not None and mode == "mor":
             lake.maybe_compact(max_delta_files=auto_compact_after)
+        if auto_vacuum_every is not None and len(out) % auto_vacuum_every == 0:
+            lake.vacuum(keep_snapshots=vacuum_keep_snapshots)
     return out
 
 
