@@ -132,3 +132,31 @@ def test_decimal_column_evolves_through_lake(spark, tmp_path):
     assert any(
         "score:decimal(3,2)->decimal(10,2)" in e["widened"] for e in snap["evolution"]
     )
+
+
+def test_widen_lattice_properties():
+    """The widening lattice is commutative, idempotent, and associative on
+    its defined domain — the algebraic requirements for per-batch schema
+    merging to be order-independent (any segment arrival order converges to
+    the same lake schema)."""
+    from trde703_openfoodfacts_etl_spark.schema import widen
+
+    types = [
+        T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType(),
+        T.FloatType(), T.DoubleType(), T.StringType(),
+        T.DateType(), T.TimestampType(), T.TimestampNTZType(),
+        T.DecimalType(3, 2), T.DecimalType(10, 2), T.DecimalType(5, 4),
+        T.DecimalType(38, 0),
+    ]
+    for a in types:
+        assert widen(a, a) == a  # idempotent
+        for b in types:
+            assert widen(a, b) == widen(b, a), (a, b)  # commutative
+    for a in types:
+        for b in types:
+            for c in types:
+                ab, bc = widen(a, b), widen(b, c)
+                if ab is not None and bc is not None:
+                    left, right = widen(ab, c), widen(a, bc)
+                    if left is not None and right is not None:
+                        assert left == right, (a, b, c)  # associative
