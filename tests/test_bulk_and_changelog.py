@@ -101,3 +101,83 @@ def test_backfill_then_stream_updates(spark, tmp_path):
     st = {(r["conv_id"], r["turn_idx"]): r["text"] for r in lake.read().collect()}
     assert st[("c1", 0)] == "hello v2"
     assert st[("c2", 0)] == "bonjour"
+
+
+def test_jsonl_wal_segments_replay(spark, tmp_path):
+    """A WAL mixing parquet and JSON-lines segments (Debezium-export wire
+    shape: one JSON envelope per line) replays to the same LWW state as an
+    all-parquet feed — the jsonl path parses against the DECLARED schema
+    via from_json (never inference), malformed lines drop at the envelope
+    parser, and run_stream refuses a jsonl-bearing WAL instead of silently
+    skipping it."""
+    import json as _json
+
+    import pytest
+
+    from trde703_openfoodfacts_etl_spark.schema import (
+        CDC_SCHEMA, TRANSCRIPT_SCHEMA,
+    )
+    from trde703_openfoodfacts_etl_spark.sources.lake import LakeTable
+    from trde703_openfoodfacts_etl_spark.streaming.pipeline import (
+        run_incremental, run_stream,
+    )
+    from helpers import make_events, ts
+
+    wal = tmp_path / "wal"
+    wal.mkdir()
+    # segment 0: parquet (the engine's native shape)
+    make_events(spark, [
+        ("I", 1, "c1", 0, "user", "hello", None, 100),
+        ("I", 2, "c2", 0, "user", "hi", None, 101),
+    ]).coalesce(1).write.parquet(str(wal / "segment=0"))
+    # segment 1: JSON lines — updates + a delete + one malformed line
+    lines = [
+        {"op": "U", "lsn": 3, "event_ts": "2024-01-01T00:02:00",
+         "conv_id": "c1", "turn_idx": 0, "role": "user",
+         "text": "hello v2", "tool": None, "ts": "2024-01-01T00:02:00"},
+        {"op": "D", "lsn": 4, "event_ts": "2024-01-01T00:03:00",
+         "conv_id": "c2", "turn_idx": 0, "role": None, "text": None,
+         "tool": None, "ts": "2024-01-01T00:03:00"},
+        {"op": "I", "lsn": 5, "event_ts": "2024-01-01T00:04:00",
+         "conv_id": "c3", "turn_idx": 1, "role": "assistant",
+         "text": "new conv", "tool": "search", "ts": "2024-01-01T00:04:00"},
+    ]
+    seg1 = wal / "segment=1.jsonl"
+    seg1.write_text(
+        "\n".join(_json.dumps(l) for l in lines) + "\nNOT-JSON-AT-ALL\n"
+    )
+
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    metrics = run_incremental(lake, str(wal), segments_per_batch=1,
+                              json_payload_schema=TRANSCRIPT_SCHEMA)
+    assert len(metrics) == 2
+    got = {(r.conv_id, r.turn_idx): (r.text, r.tool) for r in lake.read().collect()}
+    assert got == {
+        ("c1", 0): ("hello v2", None),   # jsonl update won LWW
+        ("c3", 1): ("new conv", "search"),
+        # c2 deleted by the jsonl tombstone
+    }
+    # the malformed line was dropped by the envelope parser (null op/lsn
+    # filter) before the merge — not merged, not fatal, not counted
+    assert metrics[1]["events_in"] == 3
+    # timestamps round-tripped as real timestamps, not strings
+    row = lake.read().filter("conv_id = 'c1'").first()
+    assert row.ts == ts(120)
+
+    # jsonl without a declared schema is a loud error
+    with pytest.raises(ValueError, match="json_payload_schema"):
+        run_incremental(
+            LakeTable.create(spark, str(tmp_path / "lake2"), TRANSCRIPT_SCHEMA, num_buckets=4),
+            str(wal), segments_per_batch=2,
+        )
+    # run_stream refuses a jsonl-bearing WAL (its parquet source would
+    # silently skip the file)
+    err = None
+    try:
+        run_stream(
+            LakeTable.create(spark, str(tmp_path / "lake3"), TRANSCRIPT_SCHEMA, num_buckets=4),
+            str(wal), CDC_SCHEMA, str(tmp_path / "ckpt3"),
+        )
+    except Exception as e:  # StreamingQueryException wraps the ValueError
+        err = str(e)
+    assert err is not None and "jsonl" in err and "run_incremental" in err

@@ -44,11 +44,13 @@ def _natural_key(path: str) -> str:
 
 
 def list_segments(segments_dir: str) -> list[str]:
-    """WAL segments in commit order (natural numeric order on path)."""
+    """WAL segments in commit order (natural numeric order on path).
+    Parquet and JSON-lines (``.jsonl`` — Debezium-export-style) segments
+    may be mixed in one WAL; each batch unifies both."""
     out = []
     for dirpath, _, files in os.walk(segments_dir):
         for f in files:
-            if f.endswith(".parquet"):
+            if f.endswith((".parquet", ".jsonl")):
                 out.append(os.path.join(dirpath, f))
     return sorted(out, key=_natural_key)
 
@@ -56,14 +58,41 @@ def list_segments(segments_dir: str) -> list[str]:
 _FOOTER_CACHE: dict[str, str] = {}
 
 
-def read_batch(spark, paths: list[str]):
+def read_batch(spark, paths: list[str], json_payload_schema=None):
     """Read one microbatch of segment files, unifying footer schemas
     (per-batch Arrow-schema diff; v1/v2 boundary can fall inside a batch).
 
     Footer reads are driver-side and serial, so Spark-written segment
     directories (``part-*`` files — one writer, one schema per directory)
     are cached: one footer read covers the directory. Individually named
-    segment files (schema may differ file-to-file) are always read."""
+    segment files (schema may differ file-to-file) are always read.
+
+    ``.jsonl`` segments (one JSON CDC envelope per line — the
+    Debezium-export wire shape) are parsed against the DECLARED
+    ``json_payload_schema`` via the same ``from_json`` path as the Kafka
+    source (sources/kafka.py) — never schema inference, which would scan
+    the data twice and mistype int32/timestamp columns (JSON has neither).
+    A JSON feed that evolves needs the superset schema passed in, exactly
+    like a Kafka topic; footer-diff live evolution is the parquet path's
+    feature. Malformed lines parse to a NULL envelope and are dropped by
+    the parser's op/lsn filter — never crashed on, never merged.
+    """
+    jsonl = [p for p in paths if p.endswith(".jsonl")]
+    paths = [p for p in paths if not p.endswith(".jsonl")]
+    json_df = None
+    if jsonl:
+        if json_payload_schema is None:
+            raise ValueError(
+                "read_batch: .jsonl segments need json_payload_schema= "
+                "(declared payload schema; JSON carries no types)"
+            )
+        from ..sources.kafka import parse_cdc_envelope
+
+        json_df = parse_cdc_envelope(
+            spark.read.text(jsonl), json_payload_schema
+        )
+        if not paths:
+            return json_df
     by_schema: dict[str, list[str]] = {}
     schemas = {}
     for p in paths:
@@ -84,9 +113,14 @@ def read_batch(spark, paths: list[str]):
     unified = None
     for s in schemas.values():
         unified = s if unified is None else merge_schemas(unified, s)[0]
-    df = None
     from ..schema import conform
 
+    df = None
+    if json_df is not None:
+        # a batch can straddle formats: unify the JSON envelope schema with
+        # the parquet footers' and conform both sides
+        unified = merge_schemas(unified, json_df.schema)[0]
+        df = conform(json_df, unified)
     for sj, group in by_schema.items():
         part = conform(spark.read.schema(schemas[sj]).parquet(*group), unified)
         df = part if df is None else df.unionByName(part)
@@ -105,6 +139,7 @@ def run_incremental(
     auto_compact_after: int | None = None,
     auto_vacuum_every: int | None = None,
     vacuum_keep_snapshots: int = 4,
+    json_payload_schema=None,
 ) -> list[dict]:
     """Tail the WAL directory batch by batch; resumable + idempotent.
 
@@ -143,7 +178,7 @@ def run_incremental(
     for i, paths in enumerate(batches):
         if max_batches is not None and len(out) >= max_batches:
             break
-        df = read_batch(lake.spark, paths)
+        df = read_batch(lake.spark, paths, json_payload_schema=json_payload_schema)
         if transform is not None:
             df = transform(df)
         out.append(
@@ -200,6 +235,14 @@ def run_stream(
         for p in list_segments(segments_dir):
             if p in checked:
                 continue
+            if p.endswith(".jsonl"):
+                # the parquet streaming source would NEVER read this file —
+                # silent data loss, so refuse
+                raise ValueError(
+                    f"run_stream: {p} is a .jsonl segment; the parquet "
+                    "streaming source cannot consume it — use "
+                    "run_incremental(json_payload_schema=...)"
+                )
             footer = arrow_schema_of_parquet(p)
             extra = [f.name for f in footer.fields if f.name not in declared]
             wider = [
