@@ -32,11 +32,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     for name, (fn, _sql) in REGISTRY.items():
         out[name] = fn
+    # merge-on-read replay under the SAME oracle as the COW q00: both write
+    # paths must converge to the identical LWW state
+    out["q54_cdc_replay_mor"] = lambda spark, sf_dir: flagship.cdc_replay(
+        spark, sf_dir, mode="mor"
+    )
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    out = {"q00_cdc_replay": flagship.SQL_CDC_REPLAY}
+    out = {
+        "q00_cdc_replay": flagship.SQL_CDC_REPLAY,
+        "q54_cdc_replay_mor": flagship.SQL_CDC_REPLAY,
+    }
     for name, (_fn, sql) in REGISTRY.items():
         if sql is not None:
             out[name] = sql

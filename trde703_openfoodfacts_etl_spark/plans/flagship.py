@@ -62,7 +62,7 @@ def sweep_stale_scratch(max_age_hours: float = 6.0) -> int:
     for name in os.listdir(SCRATCH):
         p = os.path.join(SCRATCH, name)
         if (
-            name.startswith(("cdc_replay_", "cdc_changes_", "cdc_tt_"))
+            name.startswith(("cdc_replay_", "cdc_changes_", "cdc_tt_", "cdc_tq_"))
             and p not in live
             and os.path.isdir(p)
             and os.path.getmtime(p) < cutoff
@@ -95,12 +95,16 @@ def _as_cdc(events_df):
     )
 
 
-def cdc_replay(spark, sf_dir: str, n_batches: int = 3):
-    """Replay sf_dir/events.parquet through the lake engine; return final state."""
+def cdc_replay(spark, sf_dir: str, n_batches: int = 3, mode: str = "cow"):
+    """Replay sf_dir/events.parquet through the lake engine; return final state.
+
+    ``mode="mor"`` replays merge-on-read (delta appends + one compaction) —
+    gated as q54 under the SAME oracle as the COW q00, so the driver proves
+    both write paths converge to the identical LWW state."""
     from ..operators.merge import apply_batch
     from ..sources.lake import LakeTable
 
-    root = _scratch_lake_root("cdc_replay_")
+    root = _scratch_lake_root(f"cdc_replay_{mode}_")
     lake = LakeTable.create(spark, root, EVENT_LAKE_SCHEMA, num_buckets=8)
     ev = _as_cdc(spark.read.parquet(f"{sf_dir}/events.parquet"))
     # contiguous lsn ranges, not pmod: each batch's scan prunes parquet row
@@ -112,8 +116,11 @@ def cdc_replay(spark, sf_dir: str, n_batches: int = 3):
     for i in range(n_batches):
         lo_i, hi_i = int(lo) + i * step, int(lo) + (i + 1) * step
         apply_batch(
-            lake, ev.filter((F.col("lsn") >= lo_i) & (F.col("lsn") < hi_i)), i
+            lake, ev.filter((F.col("lsn") >= lo_i) & (F.col("lsn") < hi_i)), i,
+            mode=mode,
         )
+    if mode == "mor":
+        lake.compact()
     return lake.read().select("conv_id", "turn_idx", "role", "text", "ts")
 
 
