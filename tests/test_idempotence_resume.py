@@ -125,3 +125,42 @@ def test_list_segments_natural_order(tmp_path):
         (d / "part-0.parquet").touch()
     got = [int(p.split("segment=")[1].split("/")[0]) for p in list_segments(str(wal))]
     assert got == [1, 2, 3, 10, 11]
+
+
+def test_two_streams_one_lake_interleaved(spark, tmp_path):
+    """Two independent change feeds (own stream_ids, own batch-id spaces,
+    own segment watermarks) merge into ONE lake: exactly-once holds per
+    stream under interleaving and re-runs, and the final state is the
+    global LWW over both feeds (cross-stream conflicts resolved by
+    (ts, lsn), not by arrival order)."""
+    from helpers import make_events
+
+    from trde703_openfoodfacts_etl_spark.streaming.pipeline import run_incremental
+
+    wal_a, wal_b = tmp_path / "wal_a", tmp_path / "wal_b"
+    make_events(spark, [("I", 1, "c1", 0, "user", "a_v1", None, 100)]) \
+        .coalesce(1).write.parquet(str(wal_a / "segment=0"))
+    make_events(spark, [("U", 5, "c1", 0, "user", "a_v2", None, 300)]) \
+        .coalesce(1).write.parquet(str(wal_a / "segment=1"))
+    make_events(spark, [
+        ("U", 3, "c1", 0, "user", "b_mid", None, 200),  # loses to a_v2 (ts)
+        ("I", 4, "c2", 0, "user", "b_only", None, 150),
+    ]).coalesce(1).write.parquet(str(wal_b / "segment=0"))
+
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    # interleave: A's first segment, all of B, then A resumes its second
+    m1 = run_incremental(lake, str(wal_a), stream_id="feed_a", max_batches=1)
+    m2 = run_incremental(lake, str(wal_b), stream_id="feed_b")
+    m3 = run_incremental(lake, str(wal_a), stream_id="feed_a")
+    assert len(m1) == 1 and len(m2) == 1 and len(m3) == 1  # resumed exactly 1
+
+    got = {(r.conv_id, r.turn_idx): r.text for r in lake.read().collect()}
+    assert got == {("c1", 0): "a_v2", ("c2", 0): "b_only"}
+
+    # re-running either feed is a per-stream no-op (independent markers)
+    assert run_incremental(lake, str(wal_a), stream_id="feed_a") == []
+    assert run_incremental(lake, str(wal_b), stream_id="feed_b") == []
+    snap = lake.snapshot()
+    assert snap["streams"]["feed_a"] == 1 and snap["streams"]["feed_b"] == 0
+    assert "segment=1" in snap["stream_hwm"]["feed_a"]
+    assert "segment=0" in snap["stream_hwm"]["feed_b"]

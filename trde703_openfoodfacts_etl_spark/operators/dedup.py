@@ -93,6 +93,13 @@ def ngram_jaccard_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     ex = sh.select("_id", "_size", F.explode("_sh").alias("_g")).withColumn(
         "_gh", F.xxhash64("_g")
     ).drop("_g")
+    # The exploded set feeds BOTH the document-frequency aggregate and the
+    # prefix join (and, in plain mode, both join sides): materialize it once
+    # — three longs per (doc, shingle), so storage is ~24 B/shingle — or the
+    # regex shingling of the WHOLE corpus re-runs per consumer. Same
+    # executor-local-persist tradeoff as the candidate list below. Measured
+    # ~30% off q21 wall at sf0.1 with exact pair parity.
+    ex = ex.localCheckpoint(eager=False)
     if max_doc_freq is not None:
         keep = (
             ex.groupBy("_gh")
