@@ -197,3 +197,40 @@ def test_crash_between_compaction_write_and_commit(spark, tmp_path, wal_dir, mon
     assert_states_equal(lake_state_pdf(lake), before)
     assert lake.vacuum(keep_snapshots=1)  # the crashed epoch's files go
     assert_states_equal(lake_state_pdf(lake), before)
+
+
+def test_mor_long_run_maintenance_loop(spark, tmp_path):
+    """Sustained MOR ingest with BOTH maintenance policies engaged
+    (auto-compaction bounding delta pressure + auto-vacuum bounding
+    snapshot/file counts): 10 batches in, the lake must be oracle-equal,
+    delta pressure bounded by the compaction threshold, file and manifest
+    counts bounded — and vacuum must never have deleted a LIVE delta file
+    (the read would crash if it had)."""
+    import glob
+    import json
+    import os
+
+    wal = str(tmp_path / "wal")
+    generate_segments(wal, n_convs=120, n_events=8_000, n_segments=10, seed=9)
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    metrics = run_incremental(
+        lake, wal, segments_per_batch=1, mode="mor",
+        auto_compact_after=3, auto_vacuum_every=3, vacuum_keep_snapshots=3,
+    )
+    assert len(metrics) == 10
+    # correctness after interleaved compact/vacuum cycles
+    assert_states_equal(lake_state_pdf(lake), duckdb_replay_oracle(f"{wal}/*.parquet"))
+    # delta pressure bounded by the policy (compaction keeps folding)
+    assert all(n <= 4 for n in lake.delta_pressure().values())
+    # manifests bounded by the keep window (+ trailing commits since last sweep)
+    manifests = glob.glob(os.path.join(str(tmp_path / "lake"), "manifests", "snapshot-*.json"))
+    assert len(manifests) <= 6
+    # no orphaned data files beyond one uncollected epoch's worth
+    data_files = glob.glob(os.path.join(str(tmp_path / "lake"), "data", "**", "*.parquet"),
+                           recursive=True)
+    live = set()
+    for m in manifests:
+        s = json.loads(open(m).read())
+        for b in s["buckets"].values():
+            live.update(fe["path"] for fe in b["files"])
+    assert len(data_files) <= len(live) + 8
