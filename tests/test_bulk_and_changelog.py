@@ -164,6 +164,19 @@ def test_jsonl_wal_segments_replay(spark, tmp_path):
     row = lake.read().filter("conv_id = 'c1'").first()
     assert row.ts == ts(120)
 
+    # ONE batch straddling both formats (segments_per_batch=2): the JSON
+    # envelope schema unifies with the parquet footers' and the outcome is
+    # identical
+    lake_mixed = LakeTable.create(
+        spark, str(tmp_path / "lake_mixed"), TRANSCRIPT_SCHEMA, num_buckets=4
+    )
+    mm = run_incremental(lake_mixed, str(wal), segments_per_batch=2,
+                         json_payload_schema=TRANSCRIPT_SCHEMA)
+    assert len(mm) == 1 and mm[0]["events_in"] == 5
+    got_mixed = {(r.conv_id, r.turn_idx): (r.text, r.tool)
+                 for r in lake_mixed.read().collect()}
+    assert got_mixed == got
+
     # jsonl without a declared schema is a loud error
     with pytest.raises(ValueError, match="json_payload_schema"):
         run_incremental(
