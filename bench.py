@@ -87,7 +87,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf_name = os.path.basename(sf_dir.rstrip("/"))
-    flagship.sweep_stale_scratch(max_age_hours=0.0)  # wipe prior runs' temp lakes
+    # wipe PRIOR runs' temp lakes; the 1h age floor protects a concurrently
+    # running process's in-use lakes (invisible to this process's live set)
+    flagship.sweep_stale_scratch(max_age_hours=1.0)
     # 2x cores shuffle partitions: bounded per-task hash state without
     # over-parallelizing; AQE coalesces at runtime (see BENCH/BASELINE.md)
     spark = build_session(app_name="bench", cores=cores, shuffle_partitions=max(2 * cores, 16))

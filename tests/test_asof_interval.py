@@ -277,3 +277,21 @@ def test_cosine_neardup_matmul_drops_null_blocks(spark):
     decl = sorted((r.id_a, r.id_b) for r in
                   cosine_neardup_pairs(df, threshold=0.99, block_col="label").collect())
     assert mm == decl == [(3, 4)]
+
+
+def test_interval_join_string_bounds_non_canonical_format(spark):
+    """String-typed interval bounds in non-canonical-but-castable formats
+    must behave like their timestamp casts everywhere (bucketing, the
+    inverted-interval pre-filter, and the exact range predicate) — a raw
+    lexicographic comparison would misorder '2024-1-9' vs '2024-01-10'
+    and silently drop the valid interval."""
+    left = spark.createDataFrame(
+        [(1, _ts(0).replace(month=1, day=9, hour=12))], "event_id int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, "2024-1-9", "2024-01-10"),     # valid 1-day interval; lexicographically inverted
+         (20, "2024-01-10", "2024-1-9")],    # actually inverted: must drop
+        "iv_id int, start string, fin string",
+    )
+    out = interval_join(left, right, "ts", "start", "fin", bucket_seconds=86400)
+    assert [(r.event_id, r.iv_id) for r in out.collect()] == [(1, 10)]

@@ -69,3 +69,16 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert "conv_id" in df.columns
+
+
+def test_scratch_lake_outlives_second_dataframe(spark):
+    """Building a second DataFrame from the same gated-query family must not
+    yank the first one's backing lake out from under it (the registry keeps
+    the two most recent roots per family): build A, build B, THEN evaluate
+    A — the lazy read must still succeed."""
+    from trde703_openfoodfacts_etl_spark.plans import flagship
+
+    a = flagship.cdc_replay(spark, "/root/testdata/sf0.001")
+    b = flagship.cdc_replay(spark, "/root/testdata/sf0.001")
+    assert a.count() > 0  # A's lake still on disk after B's creation
+    assert b.count() == a.count()

@@ -231,11 +231,13 @@ def interval_join(
     l_b = left.withColumn(
         "__bucket", F.floor(F.col(left_ts).cast("timestamp").cast("double") / b)
     )
-    r_b = right.filter(
-        F.col(right_start).isNotNull()
-        & F.col(right_end).isNotNull()
-        & (F.col(right_start) <= F.col(right_end))
-    ).withColumn(
+    # compare the CAST bounds (same domain the bucketing uses): raw-column
+    # comparison would misorder string timestamps in non-canonical formats
+    # ('2024-1-9' vs '2024-01-10' lexicographically) and silently drop
+    # valid intervals
+    _rs = F.col(right_start).cast("timestamp")
+    _re = F.col(right_end).cast("timestamp")
+    r_b = right.filter(_rs.isNotNull() & _re.isNotNull() & (_rs <= _re)).withColumn(
         "__bucket",
         F.explode(
             F.sequence(
@@ -244,7 +246,6 @@ def interval_join(
             )
         ),
     )
-    joined = l_b.join(r_b, "__bucket").filter(
-        (F.col(left_ts) >= F.col(right_start)) & (F.col(left_ts) <= F.col(right_end))
-    )
+    _lt = F.col(left_ts).cast("timestamp")
+    joined = l_b.join(r_b, "__bucket").filter((_lt >= _rs) & (_lt <= _re))
     return joined.drop("__bucket")

@@ -261,6 +261,11 @@ def _apply_batch_once(
             "delta_files": sum(len(fs) for fs in replaced.values()),
             "rows_written": int(rows_written),
             "wall_sec": round(time.time() - t0, 3),
+            "phase_sec": {
+                _pk[i]: round(_t[_pk[i]] - _t[_pk[i - 1]], 3)
+                for _pk in [list(_t)]
+                for i in range(1, len(_pk))
+            },
         }
         metrics["events_per_sec"] = (
             round(metrics["events_in"] / metrics["wall_sec"], 1)
@@ -274,9 +279,9 @@ def _apply_batch_once(
         )
         _t["commit"] = time.time()
         ks = list(_t)
-        metrics["phase_sec"] = {
-            ks[i]: round(_t[ks[i]] - _t[ks[i - 1]], 3) for i in range(1, len(ks))
-        }
+        metrics["phase_sec"] = dict(
+            metrics["phase_sec"], commit=round(_t["commit"] - _t[ks[-2]], 3)
+        )
         metrics["snapshot_id"] = new_snap["snapshot_id"]
         return metrics
 
@@ -446,6 +451,14 @@ def _apply_batch_once(
         "rows_written": int(rows_written),
         "per_bucket_events": {int(r[META_BUCKET]): int(r["n_events"]) for r in sk},
         "wall_sec": round(time.time() - t0, 3),
+        # pre-commit phases land IN the manifest (post-hoc regression
+        # attribution from committed metrics); the commit duration itself is
+        # appended to the returned dict after the commit completes
+        "phase_sec": {
+            _pk[i]: round(_t[_pk[i]] - _t[_pk[i - 1]], 3)
+            for _pk in [list(_t)]
+            for i in range(1, len(_pk))
+        },
     }
     metrics["events_per_sec"] = (
         round(metrics["events_in"] / metrics["wall_sec"], 1)
@@ -466,8 +479,8 @@ def _apply_batch_once(
     )
     _t["commit"] = time.time()
     ks = list(_t)
-    metrics["phase_sec"] = {
-        ks[i]: round(_t[ks[i]] - _t[ks[i - 1]], 3) for i in range(1, len(ks))
-    }
+    metrics["phase_sec"] = dict(
+        metrics["phase_sec"], commit=round(_t["commit"] - _t[ks[-2]], 3)
+    )
     metrics["snapshot_id"] = new_snap["snapshot_id"]
     return metrics

@@ -24,28 +24,32 @@ from pyspark.sql import types as T
 
 SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "_scratch")
 
-# One live temp lake per query family, swept at process exit. The returned
-# DataFrame reads the lake lazily, so the lake must outlive the call — but a
-# REPEATED call to the same query in one process means the caller is done
-# with the previous result, so its lake is dropped then (bounded _scratch
-# growth under repeated `queries()` runs); everything left dies via atexit.
-_live_roots: dict[str, str] = {}
+# Bounded live temp lakes per query family, swept at process exit. The
+# returned DataFrame reads the lake lazily, so a lake must outlive its
+# call — the registry keeps the TWO most recent roots per prefix (so the
+# common pattern "build df A, build df B, evaluate A" still works) and
+# drops the oldest beyond that: bounded _scratch growth under repeated
+# `queries()` runs, without yanking a lake a just-built DataFrame still
+# references. Everything left dies via atexit.
+_live_roots: dict[str, list[str]] = {}
+_KEEP_PER_PREFIX = 2
 
 
 def _scratch_lake_root(prefix: str) -> str:
     os.makedirs(SCRATCH, exist_ok=True)
-    prev = _live_roots.pop(prefix, None)
-    if prev is not None:
-        shutil.rmtree(prev, ignore_errors=True)
+    roots = _live_roots.setdefault(prefix, [])
+    while len(roots) >= _KEEP_PER_PREFIX:
+        shutil.rmtree(roots.pop(0), ignore_errors=True)
     root = tempfile.mkdtemp(prefix=prefix, dir=SCRATCH)
-    _live_roots[prefix] = root
+    roots.append(root)
     return root
 
 
 @atexit.register
 def _cleanup_scratch_lakes() -> None:
     while _live_roots:
-        shutil.rmtree(_live_roots.popitem()[1], ignore_errors=True)
+        for p in _live_roots.popitem()[1]:
+            shutil.rmtree(p, ignore_errors=True)
 
 
 def sweep_stale_scratch(max_age_hours: float = 6.0) -> int:
@@ -58,7 +62,7 @@ def sweep_stale_scratch(max_age_hours: float = 6.0) -> int:
     if not os.path.isdir(SCRATCH):
         return 0
     cutoff = time.time() - max_age_hours * 3600.0
-    live = set(_live_roots.values())
+    live = {p for roots in _live_roots.values() for p in roots}
     for name in os.listdir(SCRATCH):
         p = os.path.join(SCRATCH, name)
         if (

@@ -39,13 +39,22 @@ def transcript_state(spark, sf_dir: str, n_batches: int = 2):
     """Replay sf_dir/events.parquet through the lake once per process and
     return the live state with the derived ``tool`` column; memoized so the
     seven gated queries share the replay."""
-    cached = _TQ_STATE.get(sf_dir)
+    # key the memo on the live session too: a DataFrame cached under a
+    # stopped SparkSession is unusable and must be rebuilt under the new one
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _TQ_STATE.get(key)
     if cached is not None:
         return cached
+    import hashlib
+
     from ..operators.merge import apply_batch
     from ..sources.lake import LakeTable
 
-    root = _scratch_lake_root(f"cdc_tq_{sf_dir.rstrip('/').rsplit('/', 1)[-1]}_")
+    # prefix carries a digest of the FULL sf_dir (two dirs sharing a
+    # basename must not share a scratch family)
+    root = _scratch_lake_root(
+        f"cdc_tq_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_"
+    )
     lake = LakeTable.create(spark, root, EVENT_LAKE_SCHEMA, num_buckets=8)
     ev = _as_cdc(spark.read.parquet(f"{sf_dir}/events.parquet"))
     lo, hi = ev.agg(F.min("lsn"), F.max("lsn")).first()
@@ -58,7 +67,7 @@ def transcript_state(spark, sf_dir: str, n_batches: int = 2):
         .select("conv_id", "turn_idx", "role", "text", "ts")
         .withColumn("tool", _tool_expr())
     )
-    _TQ_STATE[sf_dir] = state
+    _TQ_STATE[key] = state
     return state
 
 

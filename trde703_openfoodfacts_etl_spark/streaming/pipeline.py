@@ -227,12 +227,18 @@ def run_stream(
     metrics: list[dict] = []
     declared = {f.name: f.dataType for f in source_schema.fields}
     checked: set[str] = set()
+    # Only the segments present at stream start are subject to the guard:
+    # the availableNow trigger fixes its file listing when the query starts,
+    # so a (possibly evolved) segment added mid-run will never be read by
+    # THIS query — it must not abort the remaining valid microbatches; a
+    # restarted stream re-lists and re-checks it then.
+    initial_segments = set(list_segments(segments_dir))
 
     def _assert_footer_schemas():
         # The micro-batch DataFrame doesn't expose its input files, so check
-        # every segment currently listed in the WAL dir (cached per file):
-        # strictly earlier than the batch that would read it, never later.
-        for p in list_segments(segments_dir):
+        # the start-time segment listing (cached per file): strictly earlier
+        # than the batch that would read a file, never later.
+        for p in initial_segments:
             if p in checked:
                 continue
             if p.endswith(".jsonl"):
