@@ -1117,6 +1117,87 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q55_quality_rules(spark, sf_dir):
+    """Gopher/C4-style document quality rule pack over the corpus — the
+    heuristic pre-training filters (Rae et al. 2021 §A1.1; Raffel et al.
+    2020 C4): per-doc word count, mean word length, duplicate-word and
+    duplicate-bigram fractions (repetition), stopword fraction, and
+    most-common-word fraction, combined into a keep/drop decision.
+
+    Scale shape: every metric except top-word fraction is a per-row array
+    computation (split → higher-order functions, pure codegen, zero
+    shuffle); top-word fraction is the one genuinely distributional metric
+    and uses the standard explode → (doc, word) count → per-doc max —
+    partial-aggregated, skew-safe. No UDFs anywhere."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    base = d.select("doc_id", w.alias("_w"))
+    n = F.size("_w")
+    bg = F.zip_with(
+        F.slice("_w", 1, n - 1),
+        F.slice(F.col("_w"), 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    stop_expr = "size(filter(_w, x -> x IN ('the','a','of','to','and','in')))"
+    per_doc = base.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.round(
+            F.expr("aggregate(_w, 0L, (acc, x) -> acc + length(x))") / n, 4
+        ).alias("mean_word_len"),
+        F.round(1.0 - F.size(F.array_distinct("_w")) / n, 4).alias("dup_word_frac"),
+        F.round(1.0 - F.size(F.array_distinct(bg)) / F.size(bg), 4).alias(
+            "bigram_dup_frac"
+        ),
+        F.round(F.expr(stop_expr) / n, 4).alias("stop_frac"),
+    )
+    top = (
+        base.select("doc_id", F.explode("_w").alias("wd"))
+        .groupBy("doc_id", "wd")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("_mx"), F.sum("count").alias("_n"))
+        .select("doc_id", F.round(F.col("_mx") / F.col("_n"), 4).alias("top_word_frac"))
+    )
+    out = per_doc.join(top, "doc_id")
+    keep = (
+        (F.col("n_words") >= 20)
+        & (F.col("top_word_frac") <= 0.12)
+        & (F.col("dup_word_frac") <= 0.65)
+        & (F.col("stop_frac") <= 0.15)
+        & (F.col("bigram_dup_frac") <= 0.10)
+    )
+    return out.withColumn("keep", keep)
+
+
+SQL_Q55 = """
+WITH docs AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+    FROM documents WHERE text IS NOT NULL),
+ex AS (SELECT doc_id, unnest(w) AS wd FROM docs),
+wf AS (SELECT doc_id, wd, count(*) AS c FROM ex GROUP BY doc_id, wd),
+tops AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 4) AS top_word_frac
+         FROM wf GROUP BY doc_id),
+m AS (SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             round(list_aggregate(list_transform(w, x -> length(x)), 'sum')
+                   * 1.0 / len(w), 4) AS mean_word_len,
+             round(1.0 - len(list_distinct(w)) * 1.0 / len(w), 4) AS dup_word_frac,
+             round(1.0 - len(list_distinct(list_transform(
+                       list_zip(w[1:len(w)-1], w[2:len(w)]),
+                       x -> x[1] || ' ' || x[2]))) * 1.0
+                   / len(list_zip(w[1:len(w)-1], w[2:len(w)])), 4) AS bigram_dup_frac,
+             round(len(list_filter(w, x -> x IN ('the','a','of','to','and','in')))
+                   * 1.0 / len(w), 4) AS stop_frac
+      FROM docs)
+SELECT m.doc_id, m.n_words, m.mean_word_len, m.dup_word_frac, m.bigram_dup_frac,
+       m.stop_frac, tops.top_word_frac,
+       (m.n_words >= 20 AND tops.top_word_frac <= 0.12 AND m.dup_word_frac <= 0.65
+        AND m.stop_frac <= 0.15 AND m.bigram_dup_frac <= 0.10) AS keep
+FROM m JOIN tops USING (doc_id)
+"""
+
+
 def q36_scd2_intervals(spark, sf_dir):
     """SCD2 version intervals from a CDC feed (the reference's
     effective_from/effective_to/is_current row versioning,
@@ -1512,6 +1593,7 @@ REGISTRY: dict[str, tuple] = {
         _flagship.SQL_CDC_TIME_TRAVEL,
     ),
     "q46_percentile_sketch": (q46_percentile_sketch, SQL_Q46),
+    "q55_quality_rules": (q55_quality_rules, SQL_Q55),
 }
 
 # q47–q53: reference transcript analytics over replayed lake state
