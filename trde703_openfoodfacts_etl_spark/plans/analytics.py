@@ -1198,6 +1198,71 @@ FROM m JOIN tops USING (doc_id)
 """
 
 
+def q56_pii_redaction(spark, sf_dir):
+    """PII scrubbing over the corpus — the redaction pass every
+    training-data pipeline runs before tokenization: detect + replace
+    email addresses and phone numbers with typed placeholder tokens, and
+    count what was redacted (audit trail). Pure codegen
+    ``regexp_count``/``regexp_replace`` — no UDFs, fuses into the scan's
+    WholeStageCodegen span, embarrassingly parallel at any scale.
+
+    The synthetic corpus carries no PII, so deterministic PII is injected
+    on BOTH sides (emails for doc_id≡0 mod 7, phone numbers for ≡0 mod 11)
+    — the gate hash-compares the redacted STRINGS, so the two engines'
+    regex semantics must agree exactly, not just the counts. Patterns stay
+    in the Java∩RE2 common dialect."""
+    EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    PHONE = "\\b555-[0-9]{4}\\b"
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    aug = d.select(
+        "doc_id",
+        F.when(
+            F.pmod("doc_id", F.lit(7)) == 0,
+            F.concat(F.col("text"), F.lit(" contact user"),
+                     F.col("doc_id").cast("string"),
+                     F.lit("@example.com for details")),
+        )
+        .when(
+            F.pmod("doc_id", F.lit(11)) == 0,
+            F.concat(F.col("text"), F.lit(" or call 555-"),
+                     F.lpad(F.pmod("doc_id", F.lit(10000)).cast("string"), 4, "0")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(PHONE)).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("text", EMAIL, "<EMAIL>"), PHONE, "<PHONE>"
+        ).alias("redacted"),
+    )
+
+
+SQL_Q56 = r"""
+WITH aug AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0
+                    THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com for details'
+                WHEN doc_id % 11 = 0
+                    THEN text || ' or call 555-'
+                         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE text END AS text
+    FROM documents WHERE text IS NOT NULL)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+            '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '\b555-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+       regexp_replace(
+           regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+                          '<EMAIL>', 'g'),
+           '\b555-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
+FROM aug
+"""
+
+
 def q36_scd2_intervals(spark, sf_dir):
     """SCD2 version intervals from a CDC feed (the reference's
     effective_from/effective_to/is_current row versioning,
@@ -1594,6 +1659,7 @@ REGISTRY: dict[str, tuple] = {
     ),
     "q46_percentile_sketch": (q46_percentile_sketch, SQL_Q46),
     "q55_quality_rules": (q55_quality_rules, SQL_Q55),
+    "q56_pii_redaction": (q56_pii_redaction, SQL_Q56),
 }
 
 # q47–q53: reference transcript analytics over replayed lake state
