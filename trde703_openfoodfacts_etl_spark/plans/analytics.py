@@ -1263,6 +1263,100 @@ FROM aug
 """
 
 
+def q57_sequence_packing(spark, sf_dir):
+    """Sample packing for pretraining: assign documents to fixed-budget
+    token sequences ("packs"). Uses offset packing — a doc starts in the
+    pack its cumulative-token offset falls into (docs may straddle a
+    boundary and be split downstream, exactly like production packing) —
+    which is a pure prefix-sum, unlike greedy bin packing (inherently
+    sequential). The prefix sum runs WITHIN hash shards (pmod(doc_id, 8)):
+    shard-local packing needs zero cross-shard coordination, so the only
+    shuffle is the per-shard window and the shard count scales with the
+    cluster. Output: per (shard, pack) doc count + token count."""
+    from ..functions.text import token_count_expr
+
+    TARGET = 512
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    toks = d.select(
+        "doc_id",
+        F.pmod("doc_id", F.lit(8)).cast("int").alias("shard"),
+        token_count_expr(F.col("text")).cast("long").alias("tokens"),
+    )
+    w = W.partitionBy("shard").orderBy("doc_id")
+    packed = toks.withColumn(
+        "pack_id",
+        F.floor((F.sum("tokens").over(w) - F.col("tokens")) / F.lit(TARGET)).cast("long"),
+    )
+    return (
+        packed.groupBy("shard", "pack_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("tokens").alias("tokens_in_pack"))
+        .orderBy("shard", "pack_id")
+    )
+
+
+SQL_Q57 = """
+WITH toks AS (
+    SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tokens
+    FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+packed AS (
+    SELECT shard, tokens,
+           CAST(floor((sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                       - tokens) / 512) AS BIGINT) AS pack_id
+    FROM toks)
+SELECT shard, pack_id, count(*) AS n_docs, sum(tokens) AS tokens_in_pack
+FROM packed GROUP BY shard, pack_id ORDER BY shard, pack_id
+"""
+
+
+def q58_source_mixing(spark, sf_dir):
+    """Source-weighted corpus mixing (the data-mixture step: keep source i
+    with probability w_i): membership is a pure function of content hash —
+    first md5 nibble < rate·16 — so the mixture is deterministic, stable
+    under repartitioning, and reproducible (never ``rand()``, same
+    principle as q42's split). Per-source rates derive from the source id
+    (quarters .25/.5/.75/1.0). Output: per-source totals, kept counts, and
+    kept tokens for the mixture audit."""
+    from ..functions.text import token_count_expr
+
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    src_num = F.regexp_extract("source", "([0-9]+)$", 1).cast("int")
+    rate = (F.pmod(src_num, F.lit(4)) + 1) / 4.0
+    nibble = F.conv(F.substring(F.md5("text"), 1, 1), 16, 10).cast("int")
+    keep = nibble < rate * 16
+    return (
+        d.select(
+            "source", rate.alias("rate"), keep.alias("_k"),
+            token_count_expr(F.col("text")).cast("long").alias("_t"),
+        )
+        .groupBy("source", "rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("_k").cast("long")).alias("n_kept"),
+            F.sum(F.when(F.col("_k"), F.col("_t")).otherwise(0)).alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_Q58 = """
+WITH d AS (
+    SELECT source,
+           (CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 4 + 1) / 4.0 AS rate,
+           (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) AS nib,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS t
+    FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+SELECT source, rate, count(*) AS n_total,
+       CAST(sum(CASE WHEN nib < rate * 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN nib < rate * 16 THEN t ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM d GROUP BY source, rate ORDER BY source
+"""
+
+
 def q36_scd2_intervals(spark, sf_dir):
     """SCD2 version intervals from a CDC feed (the reference's
     effective_from/effective_to/is_current row versioning,
@@ -1660,6 +1754,8 @@ REGISTRY: dict[str, tuple] = {
     "q46_percentile_sketch": (q46_percentile_sketch, SQL_Q46),
     "q55_quality_rules": (q55_quality_rules, SQL_Q55),
     "q56_pii_redaction": (q56_pii_redaction, SQL_Q56),
+    "q57_sequence_packing": (q57_sequence_packing, SQL_Q57),
+    "q58_source_mixing": (q58_source_mixing, SQL_Q58),
 }
 
 # q47–q53: reference transcript analytics over replayed lake state
