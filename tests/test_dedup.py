@@ -91,3 +91,18 @@ def test_simhash_near_dups(spark, docs):
     if (0, 3) in res:
         assert res[(0, 3)] <= 16
     assert (0, 4) not in res or res[(0, 4)] > 10
+
+
+def test_connected_components_multihop(spark):
+    """Min-label propagation must traverse chains (diameter > 1), keep
+    disjoint components apart, and produce the canonical min-id labels."""
+    from trde703_openfoodfacts_etl_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain: component {1,2,3,4}
+         (10, 11),                    # pair component
+         (20, 21), (21, 22), (20, 22)],  # triangle
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.cluster_id for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}

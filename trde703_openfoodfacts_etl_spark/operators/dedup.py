@@ -329,3 +329,53 @@ def simhash_near_dups(df, text_col: str = "text", id_col: str = "doc_id",
         .select("id_a", "id_b", hamming.alias("hamming"))
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def connected_components(edges, src: str = "id_a", dst: str = "id_b",
+                         max_iter: int = 50):
+    """Connected components over an undirected edge list — the cluster
+    step of document dedup (near-dup PAIRS → dedup GROUPS, so one
+    representative per group survives). Returns (id, cluster_id) with
+    cluster_id = the component's minimum node id (canonical, algorithm-
+    independent).
+
+    Spark has no built-in CC, so this is the standard Pregel-shaped
+    min-label propagation as a driver-coordinated DataFrame loop: each
+    round sends every node's current label to its neighbors and keeps the
+    minimum (one shuffle per round); labels are materialized per round via
+    eager localCheckpoint — without it the plan lineage doubles every
+    iteration. Rounds needed = graph diameter (near-dup clusters are
+    shallow: usually 2–4). Convergence is detected with a count of changed
+    labels (an aggregate, not a collect of the labels themselves).
+
+    Not expressible as one SQL query in Spark — the DuckDB oracle uses a
+    recursive CTE (UNION-deduped label reachability) and must agree
+    exactly: CC is unique for a given graph regardless of algorithm.
+    """
+    a, b = F.col(src).alias("a"), F.col(dst).alias("b")
+    sym = edges.select(a, b).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    labels = (
+        sym.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym["a"] == labels["id"])
+            .select(F.col("b").alias("id"), F.col("label"))
+        )
+        new_labels = (
+            labels.select("id", "label")
+            .union(neigh)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))

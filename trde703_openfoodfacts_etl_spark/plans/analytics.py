@@ -1357,6 +1357,56 @@ FROM d GROUP BY source, rate ORDER BY source
 """
 
 
+def q59_dedup_clusters(spark, sf_dir):
+    """Near-dup PAIRS → dedup CLUSTERS: connected components over the q21
+    similarity graph (operators/dedup.py connected_components — Pregel-
+    shaped min-label propagation, a driver-coordinated iterative DataFrame
+    loop Spark cannot express as one query). Output: one row per
+    multi-document cluster (canonical min-id representative, member count)
+    — the unit a dedup pipeline keeps one document from.
+
+    The oracle computes the same components with a recursive CTE over the
+    same exact-Jaccard pair set; CC is unique for a given graph, so any
+    correct algorithm must hash-match."""
+    from ..operators.dedup import connected_components, ngram_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.5).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    return (
+        cc.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("cluster_id")
+    )
+
+
+SQL_Q59 = """
+WITH RECURSIVE toks AS (SELECT doc_id,
+        string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+    FROM documents),
+sh AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        ELSE list_distinct(list_transform(range(1, len(w)-1),
+                                          i -> array_to_string(w[i:i+2], ' '))) END AS s
+    FROM toks),
+ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+rawp AS (SELECT a.doc_id id_a, b.doc_id id_b, a.sz sa, b.sz sb, count(*) nc
+         FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY 1, 2, 3, 4),
+pairs AS (SELECT id_a, id_b FROM rawp
+          WHERE round(nc * 1.0 / (sa + sb - nc), 6) >= 0.5),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+cc(id, label) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.b, cc.label FROM cc JOIN edges e ON e.a = cc.id
+)
+SELECT label_min AS cluster_id, CAST(count(*) AS BIGINT) AS n_docs
+FROM (SELECT id, min(label) AS label_min FROM cc GROUP BY id)
+GROUP BY 1 ORDER BY cluster_id
+"""
+
+
 def q36_scd2_intervals(spark, sf_dir):
     """SCD2 version intervals from a CDC feed (the reference's
     effective_from/effective_to/is_current row versioning,
@@ -1756,6 +1806,7 @@ REGISTRY: dict[str, tuple] = {
     "q56_pii_redaction": (q56_pii_redaction, SQL_Q56),
     "q57_sequence_packing": (q57_sequence_packing, SQL_Q57),
     "q58_source_mixing": (q58_source_mixing, SQL_Q58),
+    "q59_dedup_clusters": (q59_dedup_clusters, SQL_Q59),
 }
 
 # q47–q53: reference transcript analytics over replayed lake state
