@@ -106,3 +106,20 @@ def test_connected_components_multihop(spark):
     )
     got = {r.id: r.cluster_id for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    """A diameter larger than max_iter must fail loudly — silently
+    returning non-minimal labels would report one component as several."""
+    import pytest
+
+    from trde703_openfoodfacts_etl_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="not converged"):
+        connected_components(chain, max_iter=2)
+    # and with enough rounds the same chain converges to one cluster
+    got = connected_components(chain, max_iter=50)
+    assert {r.cluster_id for r in got.collect()} == {0}

@@ -353,10 +353,19 @@ def connected_components(edges, src: str = "id_a", dst: str = "id_b",
     exactly: CC is unique for a given graph regardless of algorithm.
     """
     a, b = F.col(src).alias("a"), F.col(dst).alias("b")
-    sym = edges.select(a, b).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    # Materialize the symmetric edge list ONCE: it is consumed every round
+    # (and its upstream plan — e.g. the whole near-dup similarity join in
+    # q59 — would otherwise re-execute twice per iteration). Same
+    # executor-local-persist tradeoff as ngram_jaccard_pairs' postings.
+    sym = (
+        edges.select(a, b)
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .localCheckpoint(eager=True)
+    )
     labels = (
         sym.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint(eager=True)
+    changed = 0
     for _ in range(max_iter):
         neigh = (
             sym.join(labels, sym["a"] == labels["id"])
@@ -378,4 +387,14 @@ def connected_components(edges, src: str = "id_a", dst: str = "id_b",
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Returning here would hand back NON-minimal labels (one component
+        # reported as several clusters) with no indication — fail loudly;
+        # diameter > max_iter means the caller should raise max_iter (or
+        # switch to pointer-doubling, which converges in O(log d) rounds).
+        raise RuntimeError(
+            f"connected_components: not converged after {max_iter} rounds "
+            f"({changed} labels still changing — graph diameter exceeds "
+            "max_iter); raise max_iter"
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))

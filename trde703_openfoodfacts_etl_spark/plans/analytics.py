@@ -1146,7 +1146,10 @@ def q55_quality_rules(spark, sf_dir):
             F.expr("aggregate(_w, 0L, (acc, x) -> acc + length(x))") / n, 4
         ).alias("mean_word_len"),
         F.round(1.0 - F.size(F.array_distinct("_w")) / n, 4).alias("dup_word_frac"),
-        F.round(1.0 - F.size(F.array_distinct(bg)) / F.size(bg), 4).alias(
+        # denominator is statically n-1: F.size(bg) would re-evaluate the
+        # whole lambda-bearing zip_with a second time per row (Catalyst
+        # does not CSE through lambdas — the word_shingles pitfall)
+        F.round(1.0 - F.size(F.array_distinct(bg)) / (n - 1), 4).alias(
             "bigram_dup_frac"
         ),
         F.round(F.expr(stop_expr) / n, 4).alias("stop_frac"),
@@ -1186,7 +1189,7 @@ m AS (SELECT doc_id,
              round(1.0 - len(list_distinct(list_transform(
                        list_zip(w[1:len(w)-1], w[2:len(w)]),
                        x -> x[1] || ' ' || x[2]))) * 1.0
-                   / len(list_zip(w[1:len(w)-1], w[2:len(w)])), 4) AS bigram_dup_frac,
+                   / (len(w) - 1), 4) AS bigram_dup_frac,
              round(len(list_filter(w, x -> x IN ('the','a','of','to','and','in')))
                    * 1.0 / len(w), 4) AS stop_frac
       FROM docs)
@@ -1346,7 +1349,7 @@ def q58_source_mixing(spark, sf_dir):
 SQL_Q58 = """
 WITH d AS (
     SELECT source,
-           (CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 4 + 1) / 4.0 AS rate,
+           (TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 4 + 1) / 4.0 AS rate,
            (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) AS nib,
            CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS t
     FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
