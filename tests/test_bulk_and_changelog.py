@@ -194,3 +194,64 @@ def test_jsonl_wal_segments_replay(spark, tmp_path):
     except Exception as e:  # StreamingQueryException wraps the ValueError
         err = str(e)
     assert err is not None and "jsonl" in err and "run_incremental" in err
+
+
+def test_orc_wal_segments_replay_with_evolution(spark, tmp_path):
+    """ORC WAL segments get the full columnar treatment: footer-schema
+    reads via pyarrow.orc, mixing with parquet segments, LWW across
+    formats, AND live schema evolution from an ORC footer (a v2 ORC
+    segment with an added column evolves the lake — jsonl can't do that;
+    ORC carries real types)."""
+    from pyspark.sql import types as T
+
+    from trde703_openfoodfacts_etl_spark.schema import TRANSCRIPT_SCHEMA
+    from trde703_openfoodfacts_etl_spark.sources.lake import LakeTable
+    from trde703_openfoodfacts_etl_spark.streaming.pipeline import run_incremental
+    from helpers import make_events
+
+    wal = tmp_path / "wal"
+    # segment 0: parquet insert
+    make_events(spark, [("I", 1, "c1", 0, "user", "v1", None, 100)]) \
+        .coalesce(1).write.parquet(str(wal / "segment=0"))
+    # segment 1: ORC update for the same key (cross-format LWW)
+    make_events(spark, [("U", 2, "c1", 0, "user", "v2-from-orc", None, 200)]) \
+        .coalesce(1).write.orc(str(wal / "segment=1"))
+    # segment 2: v2 ORC with an ADDED column — must evolve the lake live
+    make_events(spark, [("I", 3, "c2", 0, "tool", "with-meta", "srch", 300,
+                         '{"k":1}')], v2=True) \
+        .coalesce(1).write.orc(str(wal / "segment=2"))
+
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    metrics = run_incremental(lake, str(wal), segments_per_batch=1)
+    assert len(metrics) == 3
+    by_name = {f.name: f for f in lake.user_schema().fields}
+    assert "tool_meta" in by_name  # evolved from the ORC footer
+    got = {(r.conv_id, r.turn_idx): (r.text, r.tool_meta) for r in lake.read().collect()}
+    assert got == {
+        ("c1", 0): ("v2-from-orc", None),   # ORC update won LWW over parquet insert
+        ("c2", 0): ("with-meta", '{"k":1}'),
+    }
+
+    # resume skips applied ORC segments too (watermark covers all formats)
+    assert run_incremental(lake, str(wal)) == []
+
+
+def test_orc_footer_honors_catalyst_type_metadata(spark, tmp_path):
+    """ORC has no TIMESTAMP_NTZ physical type: Spark writes int64 plus a
+    spark.sql.catalyst.type field annotation. The footer reader must honor
+    it — otherwise an NTZ feed's ORC segment diffs as bigint and hard-fails
+    schema evolution (ts: timestamp vs bigint)."""
+    import glob
+
+    from pyspark.sql import types as T
+
+    from trde703_openfoodfacts_etl_spark.schema import arrow_schema_of_orc
+
+    df = spark.createDataFrame(
+        [("c1", 0)], "conv_id string, turn_idx int"
+    ).selectExpr("conv_id", "turn_idx", "TIMESTAMP_NTZ '2024-01-01 00:00:00' AS ts")
+    df.coalesce(1).write.orc(str(tmp_path / "orcdir"))
+    orc_file = glob.glob(str(tmp_path / "orcdir" / "*.orc"))[0]
+    sch = {f.name: f.dataType for f in arrow_schema_of_orc(orc_file).fields}
+    assert isinstance(sch["ts"], T.TimestampNTZType), sch["ts"]
+    assert isinstance(sch["turn_idx"], T.IntegerType)

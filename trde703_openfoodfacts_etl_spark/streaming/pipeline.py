@@ -31,7 +31,13 @@ import os
 import re
 
 from ..operators.merge import apply_batch
-from ..schema import SchemaEvolutionError, arrow_schema_of_parquet, merge_schemas, widen
+from ..schema import (
+    SchemaEvolutionError,
+    arrow_schema_of_parquet,
+    arrow_schema_of_segment,
+    merge_schemas,
+    widen,
+)
 from ..sources.lake import LakeTable
 
 
@@ -45,12 +51,12 @@ def _natural_key(path: str) -> str:
 
 def list_segments(segments_dir: str) -> list[str]:
     """WAL segments in commit order (natural numeric order on path).
-    Parquet and JSON-lines (``.jsonl`` — Debezium-export-style) segments
-    may be mixed in one WAL; each batch unifies both."""
+    Parquet, ORC, and JSON-lines (``.jsonl`` — Debezium-export-style)
+    segments may be mixed in one WAL; each batch unifies all of them."""
     out = []
     for dirpath, _, files in os.walk(segments_dir):
         for f in files:
-            if f.endswith((".parquet", ".jsonl")):
+            if f.endswith((".parquet", ".orc", ".jsonl")):
                 out.append(os.path.join(dirpath, f))
     return sorted(out, key=_natural_key)
 
@@ -73,9 +79,13 @@ def read_batch(spark, paths: list[str], json_payload_schema=None):
     source (sources/kafka.py) — never schema inference, which would scan
     the data twice and mistype int32/timestamp columns (JSON has neither).
     A JSON feed that evolves needs the superset schema passed in, exactly
-    like a Kafka topic; footer-diff live evolution is the parquet path's
+    like a Kafka topic; footer-diff live evolution is the columnar paths'
     feature. Malformed lines parse to a NULL envelope and are dropped by
     the parser's op/lsn filter — never crashed on, never merged.
+
+    ``.orc`` segments get the full parquet treatment — footer schema read
+    driver-side via pyarrow.orc, per-schema-group reads, live evolution —
+    ORC carries real types, so nothing needs declaring.
     """
     jsonl = [p for p in paths if p.endswith(".jsonl")]
     paths = [p for p in paths if not p.endswith(".jsonl")]
@@ -93,14 +103,15 @@ def read_batch(spark, paths: list[str], json_payload_schema=None):
         )
         if not paths:
             return json_df
-    by_schema: dict[str, list[str]] = {}
+    by_schema: dict[tuple[str, str], list[str]] = {}
     schemas = {}
     for p in paths:
+        fmt = "orc" if p.endswith(".orc") else "parquet"
         cacheable = os.path.basename(p).startswith("part-")
         key = os.path.dirname(p) if cacheable else p
         sj = _FOOTER_CACHE.get(key)
         if sj is None:
-            s = arrow_schema_of_parquet(p)
+            s = arrow_schema_of_segment(p)
             sj = s.json()
             if cacheable:
                 _FOOTER_CACHE[key] = sj
@@ -109,7 +120,7 @@ def read_batch(spark, paths: list[str], json_payload_schema=None):
             from ..schema import schema_from_json
 
             schemas[sj] = schema_from_json(sj)
-        by_schema.setdefault(sj, []).append(p)
+        by_schema.setdefault((sj, fmt), []).append(p)
     unified = None
     for s in schemas.values():
         unified = s if unified is None else merge_schemas(unified, s)[0]
@@ -121,8 +132,10 @@ def read_batch(spark, paths: list[str], json_payload_schema=None):
         # the parquet footers' and conform both sides
         unified = merge_schemas(unified, json_df.schema)[0]
         df = conform(json_df, unified)
-    for sj, group in by_schema.items():
-        part = conform(spark.read.schema(schemas[sj]).parquet(*group), unified)
+    for (sj, fmt), group in by_schema.items():
+        reader = spark.read.schema(schemas[sj])
+        raw = reader.orc(*group) if fmt == "orc" else reader.parquet(*group)
+        part = conform(raw, unified)
         df = part if df is None else df.unionByName(part)
     return df
 
@@ -241,13 +254,14 @@ def run_stream(
         for p in initial_segments:
             if p in checked:
                 continue
-            if p.endswith(".jsonl"):
+            if p.endswith((".jsonl", ".orc")):
                 # the parquet streaming source would NEVER read this file —
                 # silent data loss, so refuse
                 raise ValueError(
-                    f"run_stream: {p} is a .jsonl segment; the parquet "
+                    f"run_stream: {p} is a non-parquet segment; the parquet "
                     "streaming source cannot consume it — use "
-                    "run_incremental(json_payload_schema=...)"
+                    "run_incremental (orc: works directly; jsonl: pass "
+                    "json_payload_schema=...)"
                 )
             footer = arrow_schema_of_parquet(p)
             extra = [f.name for f in footer.fields if f.name not in declared]
