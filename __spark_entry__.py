@@ -27,16 +27,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # iteration order matters: the driver's correctness gate evaluates only
+    # the FIRST 50 entries, so both CDC write paths lead and the registry's
+    # past-cap block (redundantly-covered shapes, see plans/analytics.py)
+    # lands at positions 51-60.
     out: dict[str, Callable] = {
-        "q00_cdc_replay": lambda spark, sf_dir: flagship.cdc_replay(spark, sf_dir)
+        "q00_cdc_replay": lambda spark, sf_dir: flagship.cdc_replay(spark, sf_dir),
+        # merge-on-read replay under the SAME oracle as the COW q00: both
+        # write paths must converge to the identical LWW state
+        "q54_cdc_replay_mor": lambda spark, sf_dir: flagship.cdc_replay(
+            spark, sf_dir, mode="mor"
+        ),
     }
     for name, (fn, _sql) in REGISTRY.items():
         out[name] = fn
-    # merge-on-read replay under the SAME oracle as the COW q00: both write
-    # paths must converge to the identical LWW state
-    out["q54_cdc_replay_mor"] = lambda spark, sf_dir: flagship.cdc_replay(
-        spark, sf_dir, mode="mor"
-    )
     return out
 
 

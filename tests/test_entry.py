@@ -61,6 +61,18 @@ def test_query_matches_oracle(spark, sf_dir, name):
     assert list(g.columns) == list(w.columns), f"{name}: column mismatch {g.columns} vs {w.columns}"
     assert g.shape == w.shape, f"{name}: shape {g.shape} vs {w.shape}"
     for col in g.columns:
+        # dtype-KIND parity: the driver's value hash is typed, so an int64
+        # Spark column vs a float64/HUGEINT oracle column is a driver red
+        # even when values are numerically equal (round-3 q57 lesson).
+        # Only enforced null-free: a null-bearing int column legitimately
+        # arrives as float64/object from either side.
+        if not g[col].isna().any() and not w[col].isna().any():
+            assert g[col].dtype.kind == w[col].dtype.kind, (
+                f"{name}.{col}: dtype kind {g[col].dtype} (spark) vs "
+                f"{w[col].dtype} (oracle) — typed hash would mismatch; "
+                f"CAST the oracle (or the plan) so kinds agree"
+            )
+    for col in g.columns:
         for i, (x, y) in enumerate(zip(g[col], w[col])):
             assert _values_equal(x, y), f"{name}.{col}[{i}]: {x!r} != {y!r}"
 

@@ -331,6 +331,23 @@ def simhash_near_dups(df, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def _free_local_checkpoint(df) -> None:
+    """Deterministically release a locally-checkpointed DataFrame's blocks.
+
+    ``DataFrame.unpersist()`` only clears cache-manager entries, not the
+    internal RDD a localCheckpoint pins, and waiting for JVM GC + the
+    ContextCleaner leaves up to max_iter label snapshots resident. The
+    analyzed plan of a checkpointed frame is a ``LogicalRDD`` whose ``rdd``
+    IS the pinned RDD — unpersist that. Best-effort: under Spark Connect
+    (no ``_jdf``) or a future plan-shape change this degrades to the old
+    GC-eventually behavior instead of failing the job.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — cleanup must never fail the job
+        pass
+
+
 def connected_components(edges, src: str = "id_a", dst: str = "id_b",
                          max_iter: int = 50):
     """Connected components over an undirected edge list — the cluster
@@ -384,6 +401,10 @@ def connected_components(edges, src: str = "id_a", dst: str = "id_b",
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # the changed-count action above is the last consumer of the OLD
+        # round's snapshot — free its blocks now, or executor storage holds
+        # up to max_iter full label snapshots for the life of the job
+        _free_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
@@ -395,6 +416,9 @@ def connected_components(edges, src: str = "id_a", dst: str = "id_b",
         raise RuntimeError(
             f"connected_components: not converged after {max_iter} rounds "
             f"({changed} labels still changing — graph diameter exceeds "
-            "max_iter); raise max_iter"
+            "max_iter); raise max_iter or use method='pointer_doubling'"
         )
+    # the returned frame is backed by its own checkpoint; the edge list is
+    # no longer needed
+    _free_local_checkpoint(sym)
     return labels.select("id", F.col("label").alias("cluster_id"))

@@ -52,10 +52,39 @@ def _cleanup_scratch_lakes() -> None:
             shutil.rmtree(p, ignore_errors=True)
 
 
+def _tree_max_mtime(root: str, cutoff: float) -> float:
+    """Newest mtime anywhere under ``root`` (dirs AND files).
+
+    A directory's own mtime only moves when its DIRECT children change, and
+    lake writes land in nested bucket/manifest subdirs — judging staleness
+    by the root's mtime alone can delete a lake a concurrent long-running
+    process is actively writing. Short-circuits as soon as anything newer
+    than ``cutoff`` is seen, so the common keep case costs a partial walk.
+    """
+    newest = 0.0
+    try:
+        newest = os.path.getmtime(root)
+    except OSError:
+        return newest
+    if newest >= cutoff:
+        return newest
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for entry in [dirpath] + [os.path.join(dirpath, f) for f in filenames]:
+            try:
+                newest = max(newest, os.path.getmtime(entry))
+            except OSError:
+                continue  # racing with a concurrent writer/deleter is fine
+            if newest >= cutoff:
+                return newest
+    return newest
+
+
 def sweep_stale_scratch(max_age_hours: float = 6.0) -> int:
     """Remove leftover ``cdc_*`` temp lakes from PRIOR processes (crashes,
-    kills) older than ``max_age_hours``. Called at bench start; safe to call
-    anywhere — this process's own live lakes are always skipped."""
+    kills) whose ENTIRE tree is older than ``max_age_hours`` (see
+    :func:`_tree_max_mtime` — root mtime alone misses nested writes by a
+    concurrent process). Called at bench start; safe to call anywhere —
+    this process's own live lakes are always skipped."""
     import time
 
     removed = 0
@@ -69,7 +98,7 @@ def sweep_stale_scratch(max_age_hours: float = 6.0) -> int:
             name.startswith(("cdc_replay_", "cdc_changes_", "cdc_tt_", "cdc_tq_"))
             and p not in live
             and os.path.isdir(p)
-            and os.path.getmtime(p) < cutoff
+            and _tree_max_mtime(p, cutoff) < cutoff
         ):
             shutil.rmtree(p, ignore_errors=True)
             removed += 1

@@ -240,18 +240,19 @@ def run_stream(
     metrics: list[dict] = []
     declared = {f.name: f.dataType for f in source_schema.fields}
     checked: set[str] = set()
-    # Only the segments present at stream start are subject to the guard:
-    # the availableNow trigger fixes its file listing when the query starts,
-    # so a (possibly evolved) segment added mid-run will never be read by
-    # THIS query — it must not abort the remaining valid microbatches; a
-    # restarted stream re-lists and re-checks it then.
-    initial_segments = set(list_segments(segments_dir))
 
     def _assert_footer_schemas():
-        # The micro-batch DataFrame doesn't expose its input files, so check
-        # the start-time segment listing (cached per file): strictly earlier
-        # than the batch that would read a file, never later.
-        for p in initial_segments:
+        # The micro-batch DataFrame doesn't expose its input files, so the
+        # guard re-lists the WAL directory on EVERY microbatch (footer reads
+        # are cached per file, so steady-state cost is one listing). A
+        # snapshot taken before query start would race: a segment created
+        # between that listing and the availableNow trigger fixing ITS
+        # listing would be read but never footer-checked — exactly the
+        # silent conform-and-drop this guard exists to prevent. Re-listing
+        # also covers continuous (trigger-less) deployments, at the price of
+        # possibly refusing an evolved segment this availableNow pass would
+        # not have read — fail-loud beats data loss.
+        for p in list_segments(segments_dir):
             if p in checked:
                 continue
             if p.endswith((".jsonl", ".orc")):
