@@ -174,12 +174,17 @@ def generate_segments_spark(
     update_frac: float = 0.25,
     delete_frac: float = 0.05,
     seed: int = 42,
+    hot_conv_frac: float | None = None,
 ):
     """Bench-scale feed: every column is a pure function of the event id, so
     generation is embarrassingly parallel and deterministic at any
     parallelism. Skew: conv assignment uses a power-law-ish transform of a
     hash, giving a long tail plus hot conversations (exercises AQE + the
-    partial-agg LWW path)."""
+    partial-agg LWW path). ``hot_conv_frac`` additionally routes that
+    fraction of ALL events to a single conversation (``conv_00000000``) —
+    the adversarial hot-key preset for the skewed-WAL bench (BENCH/
+    BASELINE.md): one bucket receives hot_conv_frac of the feed while the
+    rest keep the power-law tail."""
     from pyspark.sql import functions as F
 
     df = spark.range(0, n_events)  # id == lsn - 1
@@ -187,6 +192,11 @@ def generate_segments_spark(
     # power-law conversation pick: u^3 concentrates mass near 0
     u = (h % 1_000_000) / 1_000_000.0
     conv = F.floor(F.pow(u, 3.0) * n_convs).cast("long")
+    if hot_conv_frac:
+        hot = (F.abs(F.xxhash64(F.col("id") * 53 + F.lit(seed))) % 1000) < int(
+            hot_conv_frac * 1000
+        )
+        conv = F.when(hot, F.lit(0)).otherwise(conv)
     h2 = F.abs(F.xxhash64(F.col("id") * 31 + F.lit(seed)))
     opf = (h2 % 100) / 100.0
     df = (
