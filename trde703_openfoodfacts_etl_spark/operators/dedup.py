@@ -349,26 +349,44 @@ def _free_local_checkpoint(df) -> None:
 
 
 def connected_components(edges, src: str = "id_a", dst: str = "id_b",
-                         max_iter: int = 50):
+                         max_iter: int = 50, method: str = "label_propagation",
+                         stats: dict | None = None):
     """Connected components over an undirected edge list — the cluster
     step of document dedup (near-dup PAIRS → dedup GROUPS, so one
     representative per group survives). Returns (id, cluster_id) with
     cluster_id = the component's minimum node id (canonical, algorithm-
     independent).
 
-    Spark has no built-in CC, so this is the standard Pregel-shaped
-    min-label propagation as a driver-coordinated DataFrame loop: each
-    round sends every node's current label to its neighbors and keeps the
-    minimum (one shuffle per round); labels are materialized per round via
-    eager localCheckpoint — without it the plan lineage doubles every
-    iteration. Rounds needed = graph diameter (near-dup clusters are
-    shallow: usually 2–4). Convergence is detected with a count of changed
-    labels (an aggregate, not a collect of the labels themselves).
+    Spark has no built-in CC, so both methods are driver-coordinated
+    DataFrame loops with per-round eager localCheckpoints (without lineage
+    truncation the plan would grow 3x per round — labels feeds the message
+    join, the union, and the changed-count join):
+
+    - ``label_propagation`` (default): Pregel-shaped min-label flood — each
+      round sends every node's label to its neighbors and keeps the min.
+      ONE shuffle join per round; rounds = graph diameter. The right cost
+      model for near-dup clusters, which are shallow (diameter 2–4).
+    - ``pointer_doubling``: adds a shortcut step — label'(v) =
+      min(label(v), min-neighbor label, label(label(v))). The self-join
+      halves the remaining distance to the component minimum each round
+      (path-doubling), so convergence is O(log d): a 10k-node chain closes
+      in ~14 rounds instead of 10k. TWO shuffle joins per round, so it only
+      wins when diameter ≫ 2·rounds — adversarial chain-shaped graphs.
+      Correctness: label(v) is always a node id inside v's component
+      (shortcutting composes reachability), and the fixpoint condition is
+      identical to label_propagation's, so both converge to the same
+      canonical minima.
+
+    Convergence is detected with a count of changed labels (an aggregate,
+    never a collect of the labels themselves); ``stats``, when passed, gets
+    ``{"rounds": n}`` recorded for observability/tests.
 
     Not expressible as one SQL query in Spark — the DuckDB oracle uses a
     recursive CTE (UNION-deduped label reachability) and must agree
     exactly: CC is unique for a given graph regardless of algorithm.
     """
+    if method not in ("label_propagation", "pointer_doubling"):
+        raise ValueError(f"connected_components: unknown method {method!r}")
     a, b = F.col(src).alias("a"), F.col(dst).alias("b")
     # Materialize the symmetric edge list ONCE: it is consumed every round
     # (and its upstream plan — e.g. the whole near-dup similarity join in
@@ -383,15 +401,25 @@ def connected_components(edges, src: str = "id_a", dst: str = "id_b",
         sym.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint(eager=True)
     changed = 0
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         neigh = (
             sym.join(labels, sym["a"] == labels["id"])
             .select(F.col("b").alias("id"), F.col("label"))
         )
+        candidates = labels.select("id", "label").union(neigh)
+        if method == "pointer_doubling":
+            # shortcut: v adopts its label's label. labels covers every
+            # node id and label(v) IS a node id, so the inner join is total.
+            shortcut = (
+                labels.alias("x")
+                .join(labels.alias("y"), F.col("x.label") == F.col("y.id"))
+                .select(F.col("x.id").alias("id"), F.col("y.label").alias("label"))
+            )
+            candidates = candidates.union(shortcut)
         new_labels = (
-            labels.select("id", "label")
-            .union(neigh)
-            .groupBy("id")
+            candidates.groupBy("id")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
@@ -408,6 +436,8 @@ def connected_components(edges, src: str = "id_a", dst: str = "id_b",
         labels = new_labels
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     if changed != 0:
         # Returning here would hand back NON-minimal labels (one component
         # reported as several clusters) with no indication — fail loudly;
