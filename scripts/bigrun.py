@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Large-scale maintained MOR replay (VERDICT r3 item 7: push past 100M).
+
+Replays --events change events (default 300M — the largest WAL + lake +
+oracle that fits this sandbox's disk) through the MOR write path WITH the
+full maintenance loop engaged (auto-compaction per-batch threshold +
+periodic snapshot vacuum), and reports:
+
+- per-batch sustained events/sec, with first-K vs last-K batch medians —
+  the MOR claim is that per-batch cost is TABLE-SIZE-INDEPENDENT, so the
+  rate must be flat across the run (~±10%) even as the table grows 30x;
+- the 4-component state signature (row count, distinct conversations,
+  total text chars, turn-index sum) vs an independent DuckDB LWW oracle
+  over the same WAL — exact equality required.
+
+Batches are driven one at a time through run_incremental's watermark resume
+(max_batches=1), so each batch's wall clock includes exactly its share of
+maintenance work; vacuum runs every 4th batch like the round-3 100M config.
+
+Run:  python scripts/bigrun.py [--events 300000000] [--batch-events 10000000]
+Writes BENCH/bigrun_{events}.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=300_000_000)
+    ap.add_argument("--batch-events", type=int, default=10_000_000)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--keep-wal", action="store_true")
+    args = ap.parse_args()
+
+    from trde703_openfoodfacts_etl_spark import build_session
+    from trde703_openfoodfacts_etl_spark.schema import TRANSCRIPT_SCHEMA
+    from trde703_openfoodfacts_etl_spark.sources.genfeed import generate_segments_spark
+    from trde703_openfoodfacts_etl_spark.sources.lake import LakeTable
+    from trde703_openfoodfacts_etl_spark.streaming.pipeline import run_incremental
+
+    n_batches = args.events // args.batch_events
+    scratch = os.path.join(REPO, "_scratch", "bigrun")
+    wal = os.path.join(scratch, f"wal_{args.events}")
+    lake_dir = os.path.join(scratch, f"lake_{args.events}")
+    shutil.rmtree(lake_dir, ignore_errors=True)
+
+    spark = build_session(app_name="bigrun", cores=32, shuffle_partitions=64)
+    if not os.path.exists(os.path.join(wal, "_SUCCESS")):
+        shutil.rmtree(wal, ignore_errors=True)
+        t0 = time.time()
+        generate_segments_spark(
+            spark, wal,
+            n_events=args.events,
+            n_convs=max(1000, args.events // 100),
+            n_segments=n_batches,
+        )
+        print(f"WAL generated: {args.events:,} events in {time.time()-t0:.0f}s",
+              flush=True)
+
+    lake = LakeTable.create(spark, lake_dir, TRANSCRIPT_SCHEMA,
+                            num_buckets=args.buckets)
+    batch_walls: list[float] = []
+    vacuum_secs: list[float] = []
+    t_run = time.time()
+    for i in range(n_batches):
+        t0 = time.time()
+        m = run_incremental(
+            lake, wal, segments_per_batch=1, max_batches=1, mode="mor",
+            auto_compact_after=6,
+        )
+        if not m:
+            break
+        wall = time.time() - t0
+        batch_walls.append(wall)
+        if (i + 1) % 4 == 0:
+            tv = time.time()
+            lake.vacuum(keep_snapshots=4)
+            vacuum_secs.append(round(time.time() - tv, 1))
+        print(f"batch {i+1}/{n_batches}: {wall:.1f}s "
+              f"({args.batch_events / wall:,.0f} ev/s)", flush=True)
+    ingest_wall = time.time() - t_run
+
+    t0 = time.time()
+    lake.compact()
+    compact_sec = time.time() - t0
+
+    k = max(1, min(10, len(batch_walls) // 3))
+    first_k = statistics.median(batch_walls[:k])
+    last_k = statistics.median(batch_walls[-k:])
+
+    # engine signature
+    from pyspark.sql import functions as F
+
+    sig = (
+        lake.read()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("conv_id").alias("convs"),
+            F.sum(F.length("text")).alias("chars"),
+            F.sum("turn_idx").alias("turns"),
+        )
+        .first()
+    )
+    engine_sig = [sig.n, sig.convs, int(sig.chars or 0), int(sig.turns or 0)]
+    print("engine signature:", engine_sig, flush=True)
+
+    # independent DuckDB LWW oracle over the raw WAL
+    import duckdb
+
+    t0 = time.time()
+    con = duckdb.connect()
+    con.execute("SET threads=24")
+    q = f"""
+        SELECT count(*), count(DISTINCT conv_id),
+               CAST(sum(length(text)) AS BIGINT), CAST(sum(turn_idx) AS BIGINT)
+        FROM (
+            SELECT conv_id, turn_idx, text, op, row_number() OVER (
+                PARTITION BY conv_id, turn_idx
+                ORDER BY coalesce(ts, TIMESTAMP '1970-01-01') DESC, lsn DESC) AS rn
+            FROM read_parquet('{wal}/segment=*/*.parquet')
+            WHERE conv_id IS NOT NULL AND conv_id <> '' AND turn_idx IS NOT NULL
+        ) WHERE rn = 1 AND op <> 'D'
+    """
+    oracle_sig = [int(x) for x in con.sql(q).fetchone()]
+    oracle_sec = time.time() - t0
+    print("oracle signature:", oracle_sig, f"({oracle_sec:.0f}s)", flush=True)
+
+    out = {
+        "events": args.events,
+        "batches": len(batch_walls),
+        "batch_events": args.batch_events,
+        "buckets": args.buckets,
+        "ingest_wall_sec": round(ingest_wall, 1),
+        "sustained_events_per_sec": round(args.events / ingest_wall, 0),
+        "batch_walls": [round(w, 1) for w in batch_walls],
+        "first10_median_wall": round(first_k, 1),
+        "last10_median_wall": round(last_k, 1),
+        "flatness_last_over_first": round(last_k / first_k, 3),
+        "vacuum_secs": vacuum_secs,
+        "compact_sec": round(compact_sec, 1),
+        "engine_signature": engine_sig,
+        "oracle_signature": oracle_sig,
+        "signature_equal": engine_sig == oracle_sig,
+        "oracle_sec": round(oracle_sec, 1),
+    }
+    path = os.path.join(REPO, "BENCH", f"bigrun_{args.events}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: v for k, v in out.items() if k != "batch_walls"}))
+    if not args.keep_wal:
+        shutil.rmtree(wal, ignore_errors=True)
+    sys.exit(0 if out["signature_equal"] else 1)
+
+
+if __name__ == "__main__":
+    main()
