@@ -35,6 +35,45 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+#: single-scalar LWW ordering key — (ts DESC, lsn DESC) packed into one
+#: HUGEINT so the oracle can use arg_max (hash aggregate, spillable) instead
+#: of a row_number window: a window sort over 300M ~300-byte rows exceeds
+#: RAM and killed the first 300M oracle attempt. lsn < 10^12 by construction.
+_LWW_KEY = (
+    "CAST(epoch_us(coalesce(ts, TIMESTAMP '1970-01-01')) AS HUGEINT)"
+    " * 1000000000000 + lsn"
+)
+
+
+def duckdb_signature(wal: str) -> list[int]:
+    """Independent 4-component LWW state signature over the raw WAL.
+
+    arg_max-per-key formulation (proven equal to the row_number window
+    oracle on smaller WALs) with bounded memory + disk spill so it
+    completes at any event count this sandbox's disk can hold.
+    """
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("SET threads=24")
+    con.execute("SET memory_limit='48GB'")
+    os.makedirs(os.path.join(REPO, "_scratch", "duckdb_tmp"), exist_ok=True)
+    con.execute(f"SET temp_directory='{os.path.join(REPO, '_scratch', 'duckdb_tmp')}'")
+    q = f"""
+        WITH w AS (
+            SELECT conv_id, turn_idx,
+                   arg_max(op,   {_LWW_KEY}) AS op,
+                   arg_max(text, {_LWW_KEY}) AS text
+            FROM read_parquet('{wal}/segment=*/*.parquet')
+            WHERE conv_id IS NOT NULL AND conv_id <> '' AND turn_idx IS NOT NULL
+            GROUP BY conv_id, turn_idx)
+        SELECT count(*), count(DISTINCT conv_id),
+               CAST(sum(length(text)) AS BIGINT), CAST(sum(turn_idx) AS BIGINT)
+        FROM w WHERE op <> 'D'
+    """
+    return [int(x) for x in con.sql(q).fetchone()]
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=300_000_000)
@@ -70,24 +109,36 @@ def main() -> None:
 
     lake = LakeTable.create(spark, lake_dir, TRANSCRIPT_SCHEMA,
                             num_buckets=args.buckets)
+    # Batch by FILE count, not by segment-dir count: the partitioned WAL
+    # write produces multiple part-files per segment dir, and an
+    # iteration-count loop over segments_per_batch=1 silently ingests only
+    # the first n_batches FILES — exactly the half-feed under-ingest that
+    # invalidated the first 300M attempt (engine was fine; this driver
+    # wasn't). Drain until run_incremental reports the WAL empty.
+    from trde703_openfoodfacts_etl_spark.streaming.pipeline import list_segments
+
+    n_files = len(list_segments(wal))
+    per_batch = max(1, (n_files + n_batches - 1) // n_batches)
     batch_walls: list[float] = []
     vacuum_secs: list[float] = []
     t_run = time.time()
-    for i in range(n_batches):
+    i = 0
+    while True:
         t0 = time.time()
         m = run_incremental(
-            lake, wal, segments_per_batch=1, max_batches=1, mode="mor",
+            lake, wal, segments_per_batch=per_batch, max_batches=1, mode="mor",
             auto_compact_after=6,
         )
         if not m:
             break
         wall = time.time() - t0
         batch_walls.append(wall)
-        if (i + 1) % 4 == 0:
+        i += 1
+        if i % 4 == 0:
             tv = time.time()
             lake.vacuum(keep_snapshots=4)
             vacuum_secs.append(round(time.time() - tv, 1))
-        print(f"batch {i+1}/{n_batches}: {wall:.1f}s "
+        print(f"batch {i}/{n_batches}: {wall:.1f}s "
               f"({args.batch_events / wall:,.0f} ev/s)", flush=True)
     ingest_wall = time.time() - t_run
 
@@ -116,23 +167,8 @@ def main() -> None:
     print("engine signature:", engine_sig, flush=True)
 
     # independent DuckDB LWW oracle over the raw WAL
-    import duckdb
-
     t0 = time.time()
-    con = duckdb.connect()
-    con.execute("SET threads=24")
-    q = f"""
-        SELECT count(*), count(DISTINCT conv_id),
-               CAST(sum(length(text)) AS BIGINT), CAST(sum(turn_idx) AS BIGINT)
-        FROM (
-            SELECT conv_id, turn_idx, text, op, row_number() OVER (
-                PARTITION BY conv_id, turn_idx
-                ORDER BY coalesce(ts, TIMESTAMP '1970-01-01') DESC, lsn DESC) AS rn
-            FROM read_parquet('{wal}/segment=*/*.parquet')
-            WHERE conv_id IS NOT NULL AND conv_id <> '' AND turn_idx IS NOT NULL
-        ) WHERE rn = 1 AND op <> 'D'
-    """
-    oracle_sig = [int(x) for x in con.sql(q).fetchone()]
+    oracle_sig = duckdb_signature(wal)
     oracle_sec = time.time() - t0
     print("oracle signature:", oracle_sig, f"({oracle_sec:.0f}s)", flush=True)
 
