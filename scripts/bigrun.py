@@ -80,6 +80,15 @@ def main() -> None:
     ap.add_argument("--batch-events", type=int, default=10_000_000)
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--keep-wal", action="store_true")
+    ap.add_argument("--vacuum-every", type=int, default=4)
+    ap.add_argument("--purge-consumed", action="store_true",
+                    help="delete WAL segment files once applied (binlog "
+                         "retention, the real-CDC disposal pattern) — frees "
+                         "the feed's disk as the lake grows, which is what "
+                         "lets 300M fit this sandbox; the DuckDB oracle is "
+                         "computed BEFORE ingest since the WAL won't exist "
+                         "after")
+    ap.add_argument("--keep-snapshots", type=int, default=4)
     args = ap.parse_args()
 
     from trde703_openfoodfacts_etl_spark import build_session
@@ -119,6 +128,16 @@ def main() -> None:
 
     n_files = len(list_segments(wal))
     per_batch = max(1, (n_files + n_batches - 1) // n_batches)
+
+    oracle_sig = None
+    oracle_sec = None
+    if args.purge_consumed:
+        t0 = time.time()
+        oracle_sig = duckdb_signature(wal)
+        oracle_sec = time.time() - t0
+        print("oracle signature (pre-ingest):", oracle_sig,
+              f"({oracle_sec:.0f}s)", flush=True)
+
     batch_walls: list[float] = []
     vacuum_secs: list[float] = []
     t_run = time.time()
@@ -133,10 +152,19 @@ def main() -> None:
             break
         wall = time.time() - t0
         batch_walls.append(wall)
+        if args.purge_consumed:
+            from trde703_openfoodfacts_etl_spark.streaming.pipeline import (
+                _natural_key,
+            )
+
+            hwm = _natural_key(lake.last_segment_hwm("default"))
+            for p in list_segments(wal):
+                if _natural_key(os.path.relpath(p, wal)) <= hwm:
+                    os.remove(p)
         i += 1
-        if i % 4 == 0:
+        if i % args.vacuum_every == 0:
             tv = time.time()
-            lake.vacuum(keep_snapshots=4)
+            lake.vacuum(keep_snapshots=args.keep_snapshots)
             vacuum_secs.append(round(time.time() - tv, 1))
         print(f"batch {i}/{n_batches}: {wall:.1f}s "
               f"({args.batch_events / wall:,.0f} ev/s)", flush=True)
@@ -166,10 +194,12 @@ def main() -> None:
     engine_sig = [sig.n, sig.convs, int(sig.chars or 0), int(sig.turns or 0)]
     print("engine signature:", engine_sig, flush=True)
 
-    # independent DuckDB LWW oracle over the raw WAL
-    t0 = time.time()
-    oracle_sig = duckdb_signature(wal)
-    oracle_sec = time.time() - t0
+    # independent DuckDB LWW oracle over the raw WAL (already computed
+    # pre-ingest when the WAL is purged as it is consumed)
+    if oracle_sig is None:
+        t0 = time.time()
+        oracle_sig = duckdb_signature(wal)
+        oracle_sec = time.time() - t0
     print("oracle signature:", oracle_sig, f"({oracle_sec:.0f}s)", flush=True)
 
     out = {
