@@ -166,6 +166,17 @@ def main() -> None:
             tv = time.time()
             lake.vacuum(keep_snapshots=args.keep_snapshots)
             vacuum_secs.append(round(time.time() - tv, 1))
+            # Long-lived driver, hundreds of jobs: shuffle files are only
+            # deleted when ContextCleaner sees their ShuffleDependency
+            # GC'd, and an idle-heap JVM may not GC for the whole run —
+            # observed 42 GB of dead blockmgr shuffle data by batch 24,
+            # which is what actually filled the disk on the failed 300M
+            # attempts. Nudge the driver JVM so completed batches' shuffle
+            # output is reclaimed on the vacuum cadence.
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
         print(f"batch {i}/{n_batches}: {wall:.1f}s "
               f"({args.batch_events / wall:,.0f} ev/s)", flush=True)
     ingest_wall = time.time() - t_run
