@@ -113,22 +113,27 @@ def _phase_totals(runs: list[dict]) -> dict:
 
 def _cdc_summary(runs: list[dict]) -> dict:
     walls = [r["wall_sec"] for r in runs]
+    # headline wall/events_per_sec/phases all come from the SAME run (the
+    # lower-median trial): statistics.median of an even trial count is an
+    # interpolated wall no run actually had, and pairing it with another
+    # run's phase table makes the phases not sum to the headline — the
+    # exact unattributable-number confusion the phase breakdown exists to
+    # prevent
+    med = sorted(runs, key=lambda r: r["wall_sec"])[(len(runs) - 1) // 2]
     out = {
-        "mode": runs[0]["mode"],
-        "events": runs[0]["events"],
-        "batches": runs[0]["batches"],
+        "mode": med["mode"],
+        "events": med["events"],
+        "batches": med["batches"],
         "trials": len(runs),
-        "wall_sec": round(statistics.median(walls), 3),
+        "wall_sec": med["wall_sec"],
         "wall_all": walls,
-        "events_per_sec": round(runs[0]["events"] / statistics.median(walls), 1),
-        "events_per_sec_best": round(runs[0]["events"] / min(walls), 1),
+        "events_per_sec": round(med["events"] / med["wall_sec"], 1),
+        "events_per_sec_best": round(med["events"] / min(walls), 1),
         "phase_sec_total": _phase_totals(runs),
-        "final_rows": runs[0]["final_rows"],
+        "final_rows": med["final_rows"],
     }
-    if "compact_sec" in runs[0]:
-        out["compact_sec"] = round(
-            statistics.median([r["compact_sec"] for r in runs]), 3
-        )
+    if "compact_sec" in med:
+        out["compact_sec"] = med["compact_sec"]
     return out
 
 

@@ -137,6 +137,15 @@ def main() -> None:
         oracle_sec = time.time() - t0
         print("oracle signature (pre-ingest):", oracle_sig,
               f"({oracle_sec:.0f}s)", flush=True)
+        # once purging starts the WAL is no longer the full feed: drop the
+        # generation marker NOW so a rerun after a mid-ingest crash
+        # regenerates instead of silently replaying the surviving half and
+        # labeling the record with the full event count (both sides would
+        # agree on the truncated feed, so the signature gate alone cannot
+        # catch that)
+        marker = os.path.join(wal, "_SUCCESS")
+        if os.path.exists(marker):
+            os.remove(marker)
 
     batch_walls: list[float] = []
     vacuum_secs: list[float] = []

@@ -7,8 +7,12 @@ oracles at sf0.01 (driver parity) and writes ``CORRECTNESS_FULL_r{N}.json``
 at the repo root, so the 10 past-cap registry entries keep hard, committed
 evidence every round.
 
-The compare replicates the driver: row count, sorted column names, and an
-order-insensitive value hash over column-name-sorted data.  Crucially it is
+The compare replicates the driver STRICTLY: row count, sorted column
+names, and an order-insensitive value hash over column-name-sorted data.
+(tests/test_entry.py intentionally differs: it does tolerant pairwise value
+comparison — a per-round local gate that must not flake on float noise —
+while this script reproduces the driver's typed hash; the two are
+complementary, not drifting replicas.)  Crucially it is
 dtype-aware the same way the driver is — an int64 Spark column vs a float64
 oracle column is a hash MISMATCH even when the values are numerically equal
 (the exact q57 failure mode of round 3).
@@ -114,8 +118,16 @@ def main() -> None:
         json.dump(out, f, indent=1)
     n_hash = sum(1 for r in out.values() if r["hash_match"])
     n_err = sum(1 for r in out.values() if r["err"])
+    # red = an error, a failed hash, or a rows-only query whose rows check
+    # failed; a rows-only green (hash_match None, rows_match True) is not a
+    # failure — that is the driver's own semantics for oracle-less ops
+    n_red = sum(
+        1 for r in out.values()
+        if r["err"] or r["hash_match"] is False
+        or (r["hash_match"] is None and r["rows_match"] is not True)
+    )
     print(f"{path}: {n_hash}/{len(out)} hash-green, {n_err} errors")
-    sys.exit(1 if n_err or n_hash < len(out) else 0)  # every query has an oracle
+    sys.exit(1 if n_red else 0)
 
 
 if __name__ == "__main__":

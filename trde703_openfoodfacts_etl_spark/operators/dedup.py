@@ -443,6 +443,11 @@ def connected_components(edges, src: str = "id_a", dst: str = "id_b",
         # reported as several clusters) with no indication — fail loudly;
         # diameter > max_iter means the caller should raise max_iter (or
         # switch to pointer-doubling, which converges in O(log d) rounds).
+        # The raise path frees its checkpoints too: the error message
+        # invites catch-and-retry, and a retry loop must not accumulate
+        # pinned edge-list + label snapshots per failed attempt.
+        _free_local_checkpoint(labels)
+        _free_local_checkpoint(sym)
         raise RuntimeError(
             f"connected_components: not converged after {max_iter} rounds "
             f"({changed} labels still changing — graph diameter exceeds "

@@ -193,7 +193,8 @@ def generate_segments_spark(
     u = (h % 1_000_000) / 1_000_000.0
     conv = F.floor(F.pow(u, 3.0) * n_convs).cast("long")
     if hot_conv_frac:
-        hot = (F.abs(F.xxhash64(F.col("id") * 53 + F.lit(seed))) % 1000) < int(
+        # round, don't truncate: int(0.29 * 1000) == 289 via binary float
+        hot = (F.abs(F.xxhash64(F.col("id") * 53 + F.lit(seed))) % 1000) < round(
             hot_conv_frac * 1000
         )
         conv = F.when(hot, F.lit(0)).otherwise(conv)

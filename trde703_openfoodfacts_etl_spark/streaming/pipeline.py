@@ -52,11 +52,22 @@ def _natural_key(path: str) -> str:
 def list_segments(segments_dir: str) -> list[str]:
     """WAL segments in commit order (natural numeric order on path).
     Parquet, ORC, and JSON-lines (``.jsonl`` — Debezium-export-style)
-    segments may be mixed in one WAL; each batch unifies all of them."""
+    segments may be mixed in one WAL; each batch unifies all of them.
+
+    Path components starting with ``_`` or ``.`` are skipped — the
+    Hadoop/Spark hidden-path convention. A concurrent Spark writer stages
+    in-flight task files under ``_temporary/``; Spark's own file source
+    filters those, but this listing feeds EXPLICIT-path reads
+    (``spark.read.parquet(*files)``) which do not, so without the filter a
+    concurrent append could leak uncommitted (or footer-less, mid-write)
+    task files into a batch."""
     out = []
-    for dirpath, _, files in os.walk(segments_dir):
+    for dirpath, dirnames, files in os.walk(segments_dir):
+        dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
         for f in files:
-            if f.endswith((".parquet", ".orc", ".jsonl")):
+            if f.endswith((".parquet", ".orc", ".jsonl")) and not f.startswith(
+                ("_", ".")
+            ):
                 out.append(os.path.join(dirpath, f))
     return sorted(out, key=_natural_key)
 
@@ -264,7 +275,13 @@ def run_stream(
                     "run_incremental (orc: works directly; jsonl: pass "
                     "json_payload_schema=...)"
                 )
-            footer = arrow_schema_of_parquet(p)
+            try:
+                footer = arrow_schema_of_parquet(p)
+            except FileNotFoundError:
+                # listed, then vanished before the footer read (e.g. a
+                # task-commit rename racing the listing): the stream cannot
+                # have read it either; it is re-checked if it reappears
+                continue
             extra = [f.name for f in footer.fields if f.name not in declared]
             wider = [
                 f.name
