@@ -110,3 +110,23 @@ def test_vacuum_through_custom_backend(spark, tmp_path):
     assert removed, "older-epoch data files should have been vacuumed"
     assert len(io.objects) < n_manifests_before  # old manifests dropped from the catalog
     assert list(lake_state_pdf(lake)["text"]) == ["c"]
+
+
+def test_list_segments_skips_hidden_and_inflight_paths(tmp_path):
+    """A concurrent Spark writer stages uncommitted task files under
+    _temporary/ and drops markers like _SUCCESS; the WAL listing feeds
+    EXPLICIT-path reads that bypass Spark's hidden-file filter, so it must
+    apply the same hidden-path convention itself (dot/underscore-prefixed
+    components) or a concurrent append leaks mid-write files into a batch."""
+    from trde703_openfoodfacts_etl_spark.streaming.pipeline import list_segments
+
+    wal = tmp_path / "wal"
+    (wal / "segment=0").mkdir(parents=True)
+    (wal / "segment=0" / "part-00000.parquet").write_bytes(b"x")
+    (wal / "segment=0" / ".part-00001.parquet.crc").write_bytes(b"x")
+    (wal / "segment=0" / "_committing.parquet").write_bytes(b"x")
+    (wal / "_temporary" / "0" / "task_1").mkdir(parents=True)
+    (wal / "_temporary" / "0" / "task_1" / "part-00000.parquet").write_bytes(b"x")
+    (wal / "_SUCCESS").write_bytes(b"")
+    got = list_segments(str(wal))
+    assert got == [str(wal / "segment=0" / "part-00000.parquet")]
