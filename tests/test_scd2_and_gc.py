@@ -234,3 +234,21 @@ def test_auto_vacuum_bounds_files_keeps_travel_window(spark, tmp_path):
     assert 1 <= len(lineage) <= 4
     past = lake.read(snapshot_id=lineage[0]["snapshot_id"])
     assert past.count() > 0
+
+
+def test_changes_and_time_travel_past_vacuum_fail_loudly(spark, tmp_path):
+    """changes(from)/read(snapshot_id=) where the manifest was vacuumed must
+    raise SnapshotNotFound with a vacuum-pointing message — never silently
+    diff/read against the oldest surviving snapshot (VERDICT r4 item 7)."""
+    from trde703_openfoodfacts_etl_spark.sources.lake import SnapshotNotFound
+
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    for i in range(4):
+        apply_batch(lake, make_events(spark, [("U", 10 + i, "c1", 0, "user", f"v{i}", None, i)]), i)
+    lake.vacuum(keep_snapshots=2)
+    with pytest.raises(SnapshotNotFound, match="vacuum"):
+        lake.changes(from_snapshot=1)
+    with pytest.raises(SnapshotNotFound, match="vacuum"):
+        lake.read(snapshot_id=1)
+    # inside the keep window still works
+    assert lake.changes(from_snapshot=lake.latest_id() - 1).count() >= 0

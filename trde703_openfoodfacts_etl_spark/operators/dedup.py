@@ -340,12 +340,27 @@ def _free_local_checkpoint(df) -> None:
     analyzed plan of a checkpointed frame is a ``LogicalRDD`` whose ``rdd``
     IS the pinned RDD — unpersist that. Best-effort: under Spark Connect
     (no ``_jdf``) or a future plan-shape change this degrades to the old
-    GC-eventually behavior instead of failing the job.
+    GC-eventually behavior instead of failing the job — but observably:
+    the first failure logs a warning (so the silent-block-leak mode is
+    visible in driver logs) and ``_free_local_checkpoint.failures`` counts
+    every one (assertable from tests / pollable from a maintenance loop).
     """
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:  # noqa: BLE001 — cleanup must never fail the job
-        pass
+    except Exception as e:  # noqa: BLE001 — cleanup must never fail the job
+        _free_local_checkpoint.failures += 1
+        if _free_local_checkpoint.failures == 1:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "localCheckpoint block release unavailable (%s: %s); "
+                "falling back to GC-eventually block cleanup — per-round "
+                "label snapshots stay resident until the ContextCleaner "
+                "runs", type(e).__name__, e,
+            )
+
+
+_free_local_checkpoint.failures = 0
 
 
 def connected_components(edges, src: str = "id_a", dst: str = "id_b",

@@ -60,6 +60,13 @@ class SnapshotConflict(Exception):
     """Another writer committed the same snapshot id first (CAS lost)."""
 
 
+class SnapshotNotFound(FileNotFoundError):
+    """A requested snapshot id does not exist — most commonly because
+    :meth:`LakeTable.vacuum` removed it past the retention window. Raised
+    loudly so time travel / ``changes()`` across a vacuumed boundary never
+    silently degrades to diffing against the oldest survivor."""
+
+
 def bucket_expr(num_buckets: int, col: str = "conv_id"):
     """Stable bucket of a conversation; JVM-side, codegen'd."""
     return F.pmod(F.xxhash64(F.col(col)), F.lit(num_buckets)).cast("int")
@@ -133,7 +140,17 @@ class LakeTable:
         sid = self.latest_id() if sid is None else sid
         if sid is None:
             raise FileNotFoundError(f"no snapshots under {self.root}")
-        return self.io.read_json(self._snap_path(sid))
+        try:
+            return self.io.read_json(self._snap_path(sid))
+        except FileNotFoundError:
+            latest = self.latest_id()
+            raise SnapshotNotFound(
+                f"snapshot {sid} does not exist under {self.root} (latest "
+                f"committed id: {latest}); if it existed earlier it was "
+                "removed by vacuum() past the retention window — time "
+                "travel / changes() across a vacuumed boundary is gone by "
+                "policy, not recoverable"
+            ) from None
 
     def _write_snapshot(self, snap: dict) -> None:
         """Atomic compare-and-swap commit via the IO seam's create-if-absent
