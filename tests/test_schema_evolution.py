@@ -160,3 +160,29 @@ def test_widen_lattice_properties():
                     left, right = widen(ab, c), widen(a, bc)
                     if left is not None and right is not None:
                         assert left == right, (a, b, c)  # associative
+
+
+def test_spark_generator_v2_cutover_evolves_lake(spark, tmp_path):
+    """Bench-scale generator's v2 cutover (v2_from_segment): segments past
+    the cut carry tool_meta + int64 turn_idx; replaying the mixed feed
+    evolves the lake mid-stream and matches the oracle including the new
+    column (the small-generator analog of test_mid_stream_evolution_replay,
+    over the generator the 100M+ benches actually use)."""
+    from trde703_openfoodfacts_etl_spark.sources.genfeed import generate_segments_spark
+    from trde703_openfoodfacts_etl_spark.streaming.pipeline import run_incremental
+
+    wal = str(tmp_path / "wal")
+    generate_segments_spark(spark, wal, n_events=20_000, n_convs=400,
+                            n_segments=4, v2_from_segment=2)
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    # file-count batching (segment dirs hold multiple part files)
+    from trde703_openfoodfacts_etl_spark.streaming.pipeline import list_segments
+
+    n_files = len(list_segments(wal))
+    run_incremental(lake, wal, segments_per_batch=max(1, n_files // 4))
+    assert any("tool_meta:string" in e["added"] for e in lake.snapshot()["evolution"])
+    oracle = duckdb_replay_oracle(f"{wal}/segment=*/*.parquet", extra_cols=["tool_meta"])
+    got = lake_state_pdf(lake, cols=["conv_id", "turn_idx", "role", "text",
+                                     "tool", "ts", "tool_meta"])
+    assert_states_equal(got, oracle)
+    assert got["tool_meta"].notna().sum() > 0

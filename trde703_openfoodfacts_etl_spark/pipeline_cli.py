@@ -27,6 +27,9 @@ def main() -> None:
     ap.add_argument("--convs", type=int, default=2_000)
     ap.add_argument("--segments", type=int, default=8)
     ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--rebucket-to", type=int, default=None,
+                    help="after replay, evolve the table's bucket count "
+                         "(committed snapshot op; see LakeTable.rebucket)")
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     ap.add_argument("--normalize", action="store_true")
     ap.add_argument("--spark-generator", action="store_true",
@@ -77,6 +80,18 @@ def main() -> None:
     done = sum(m.get("events_in", 0) for m in metrics)
     print(f"[replay] applied {len(metrics)} batches / {done} events "
           f"(resumed past {lake.last_batch_id('default') + 1 - len(metrics)} committed)")
+
+    if args.rebucket_to is not None:
+        import time as _time
+
+        t0 = _time.time()
+        snap = lake.rebucket(args.rebucket_to)
+        rb = snap["metrics"].get("rebucket")
+        if rb is None:
+            print(f"[rebucket] already at {snap['num_buckets']} buckets; no-op")
+        else:
+            print(f"[rebucket] {rb['from_buckets']} -> {rb['to_buckets']} buckets "
+                  f"({rb['rows']} rows rewritten in {_time.time() - t0:.1f}s)")
 
     # 3. quality
     rpt = table_quality_report(lake.read(), snapshot_id=lake.latest_id())

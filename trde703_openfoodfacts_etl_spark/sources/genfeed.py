@@ -175,6 +175,7 @@ def generate_segments_spark(
     delete_frac: float = 0.05,
     seed: int = 42,
     hot_conv_frac: float | None = None,
+    v2_from_segment: int | None = None,
 ):
     """Bench-scale feed: every column is a pure function of the event id, so
     generation is embarrassingly parallel and deterministic at any
@@ -184,7 +185,13 @@ def generate_segments_spark(
     fraction of ALL events to a single conversation (``conv_00000000``) —
     the adversarial hot-key preset for the skewed-WAL bench (BENCH/
     BASELINE.md): one bucket receives hot_conv_frac of the feed while the
-    rest keep the power-law tail."""
+    rest keep the power-law tail.
+
+    ``v2_from_segment``: segments ≥ that index are written with the evolved
+    v2 schema — added ``tool_meta`` string column, ``turn_idx`` widened
+    int32→int64 — same cutover the pytest-scale generator produces, so a
+    mid-run schema evolution can be exercised at bench scale (two writes,
+    one per schema generation; event content is identical either way)."""
     from pyspark.sql import functions as F
 
     df = spark.range(0, n_events)  # id == lsn - 1
@@ -259,5 +266,27 @@ def generate_segments_spark(
             "segment",
         )
     )
-    df.write.mode("overwrite").partitionBy("segment").parquet(out_dir)
+    if v2_from_segment is None:
+        df.write.mode("overwrite").partitionBy("segment").parquet(out_dir)
+        return out_dir
+    # evolved feed: one write per schema generation (a single partitioned
+    # write would force one unified footer schema on every segment)
+    v1 = df.filter(F.col("segment") < v2_from_segment)
+    v2 = (
+        df.filter(F.col("segment") >= v2_from_segment)
+        .withColumn("turn_idx", F.col("turn_idx").cast("long"))
+        .withColumn(
+            "tool_meta",
+            F.when(
+                F.col("role") == "tool",
+                F.format_string('{"call_id": %d}', F.col("lsn")),
+            ).otherwise(F.lit(None).cast("string")),
+        )
+        .select(
+            "op", "lsn", "event_ts", "conv_id", "turn_idx", "role", "text",
+            "tool", "tool_meta", "ts", "segment",
+        )
+    )
+    v1.write.mode("overwrite").partitionBy("segment").parquet(out_dir)
+    v2.write.mode("append").partitionBy("segment").parquet(out_dir)
     return out_dir

@@ -504,15 +504,25 @@ class LakeTable:
         valid_from/valid_to snapshot ids + commit times and is_current.
         """
         chain = self.snapshot_lineage()
-        # the key's bucket: same xxhash64-pmod the engine writes with
-        b = (
-            self.spark.createDataFrame([(conv_id,)], "c string")
-            .select(bucket_expr(chain[0]["num_buckets"], col="c").alias("b"))
-            .first()["b"]
-        )
+
+        # the key's bucket: same xxhash64-pmod the engine writes with —
+        # PER SNAPSHOT: num_buckets can change across the chain (rebucket),
+        # moving the key to a different bucket id mid-lineage
+        bcache: dict[int, int] = {}
+
+        def _bucket_of(p: int) -> int:
+            if p not in bcache:
+                bcache[p] = (
+                    self.spark.createDataFrame([(conv_id,)], "c string")
+                    .select(bucket_expr(p, col="c").alias("b"))
+                    .first()["b"]
+                )
+            return bcache[p]
+
         reads = []
         prev_files = object()
         for snap in chain:
+            b = _bucket_of(int(snap["num_buckets"]))
             entry = snap["buckets"].get(str(b), {})
             files = tuple(fe["path"] for fe in entry.get("files", []))
             if files == prev_files:
@@ -666,6 +676,84 @@ class LakeTable:
         )
         return new
 
+    def rebucket(self, new_num_buckets: int, files_per_bucket: int = 1) -> dict:
+        """Bucket-count evolution as a committed snapshot operation — the
+        Iceberg partition-spec-evolution analog. ``num_buckets`` is chosen at
+        :meth:`create` time; a table that grows 100× would otherwise be stuck
+        with COW rewrite units and pruning granularity sized for day one.
+
+        One Spark job: read the full current state (tombstones kept, MOR
+        deltas resolved by the read path), re-hash every row under
+        ``bucket_expr(new_num_buckets)``, write all buckets into one new
+        epoch, and commit a child snapshot whose ENTIRE buckets map is
+        replaced and which carries the new ``num_buckets``. Because
+        ``num_buckets`` is per-snapshot and every reader/writer derives
+        bucketing from the snapshot it reads, everything downstream follows
+        automatically: time travel to a pre-rebucket snapshot reads the old
+        layout (its file lists are pinned in the old manifest), resumed
+        ingest merges under the new bucketing (``apply_batch`` re-reads the
+        head snapshot per batch and on CAS retry), ``key_history`` hashes
+        each snapshot with its own bucket count, and vacuum reclaims the old
+        layout's files once the pre-rebucket snapshots age out.
+
+        Cost model at scale: one full-table rewrite — the same price as a
+        global compaction, amortized over the 100× of growth that motivated
+        it. Concurrency: single CAS attempt; a concurrent writer winning the
+        race raises :class:`SnapshotConflict` (re-run against the new head —
+        same contract as :meth:`compact`). Per-new-bucket ``hwm_lsn`` is
+        re-derived from the data; the table-wide high-watermark is preserved
+        via the rebucket metrics entry (resume correctness rides
+        ``stream_hwm``/batch markers, which carry over untouched).
+        """
+        snap = self.snapshot()
+        old_p = int(snap["num_buckets"])
+        if int(new_num_buckets) == old_p:
+            return snap
+        if new_num_buckets < 1:
+            raise ValueError(f"rebucket: num_buckets must be >= 1, got {new_num_buckets}")
+        resolved = self.read(
+            include_deleted=True, with_meta=True, snap=snap
+        ).withColumn(META_BUCKET, bucket_expr(new_num_buckets))
+        written = self.write_bucket_files(
+            resolved, snap["snapshot_id"] + 1, snap["schema_id"], files_per_bucket
+        )
+        stats = (
+            resolved.groupBy(META_BUCKET)
+            .agg(
+                F.sum(F.when(~F.coalesce(F.col(META_DELETED), F.lit(False)), 1).otherwise(0)).alias("live"),
+                F.sum(F.when(F.coalesce(F.col(META_DELETED), F.lit(False)), 1).otherwise(0)).alias("dead"),
+                F.max(META_LSN).alias("hwm"),
+            )
+            .collect()
+        )
+        table_hwm = max(
+            (int(b.get("hwm_lsn") or 0) for b in snap["buckets"].values()), default=0
+        )
+        new = dict(snap)
+        new["parent"] = snap["snapshot_id"]
+        new["snapshot_id"] = snap["snapshot_id"] + 1
+        new["num_buckets"] = int(new_num_buckets)
+        new["buckets"] = {
+            str(int(r[META_BUCKET])): {
+                "files": written.get(int(r[META_BUCKET]), []),
+                "hwm_lsn": int(r["hwm"] or 0),
+                "rows": int(r["live"]),
+                "tombstones": int(r["dead"]),
+            }
+            for r in stats
+        }
+        new["metrics"] = {
+            "rebucket": {
+                "from_buckets": old_p,
+                "to_buckets": int(new_num_buckets),
+                "table_hwm_lsn": table_hwm,
+                "rows": sum(int(r["live"]) for r in stats),
+            }
+        }
+        new["created_unix"] = time.time()
+        self._write_snapshot(new)
+        return new
+
     def changes(self, from_snapshot: int, to_snapshot: int | None = None):
         """Changelog between two snapshots (CDC-out): one row per key whose
         state differs, with change_type ∈ {insert, update, delete}.
@@ -673,19 +761,29 @@ class LakeTable:
         Snapshot diffing reads only buckets whose file lists differ between
         the manifests (manifest-driven pruning again), joins old vs new
         state on the natural key, and classifies by row-hash. Scales as
-        O(changed buckets), not O(table)."""
+        O(changed buckets), not O(table).
+
+        Across a :meth:`rebucket` boundary the two snapshots disagree on
+        bucket layout, so bucket-id pruning is meaningless — both sides are
+        read in full (accurate: the rebucket rewrote every file) and the
+        row-hash classification still yields exactly the real data changes
+        (pure re-hashing produces no changelog rows)."""
         s_from = self.snapshot(from_snapshot)
         s_to = self.snapshot(to_snapshot if to_snapshot is not None else self.latest_id())
-        changed = [
-            int(b)
-            for b in set(s_from["buckets"]) | set(s_to["buckets"])
-            if s_from["buckets"].get(b, {}).get("files")
-            != s_to["buckets"].get(b, {}).get("files")
-        ]
-        old = self.read(snap=s_from, buckets=changed, with_meta=True).select(
+        if int(s_from["num_buckets"]) != int(s_to["num_buckets"]):
+            from_b, to_b = None, None  # layouts differ: full read both sides
+        else:
+            changed = [
+                int(b)
+                for b in set(s_from["buckets"]) | set(s_to["buckets"])
+                if s_from["buckets"].get(b, {}).get("files")
+                != s_to["buckets"].get(b, {}).get("files")
+            ]
+            from_b, to_b = changed, changed
+        old = self.read(snap=s_from, buckets=from_b, with_meta=True).select(
             *KEY_COLS, F.col(META_ROW_HASH).alias("_old_hash")
         )
-        new = self.read(snap=s_to, buckets=changed, with_meta=True)
+        new = self.read(snap=s_to, buckets=to_b, with_meta=True)
         j = new.alias("n").join(old.alias("o"), KEY_COLS, "full_outer")
         change_type = (
             F.when(F.col(f"o._old_hash").isNull() & F.col(f"n.{META_ROW_HASH}").isNotNull(), "insert")
