@@ -45,8 +45,11 @@ _LWW_KEY = (
 )
 
 
-def duckdb_signature(wal: str) -> list[int]:
-    """Independent 4-component LWW state signature over the raw WAL.
+def duckdb_signature(wal: str, evolved: bool = False) -> list[int]:
+    """Independent 4-component LWW state signature over the raw WAL
+    (6-component when the feed carries the v2 evolution: + non-null
+    tool_meta count and total tool_meta chars — NULL for v1-era winners,
+    exactly what the lake's typed-null backfill must produce).
 
     arg_max-per-key formulation (proven equal to the row_number window
     oracle on smaller WALs) with bounded memory + disk spill so it
@@ -59,16 +62,22 @@ def duckdb_signature(wal: str) -> list[int]:
     con.execute("SET memory_limit='48GB'")
     os.makedirs(os.path.join(REPO, "_scratch", "duckdb_tmp"), exist_ok=True)
     con.execute(f"SET temp_directory='{os.path.join(REPO, '_scratch', 'duckdb_tmp')}'")
+    meta_sel = f", arg_max(tool_meta, {_LWW_KEY}) AS tool_meta" if evolved else ""
+    meta_out = (
+        ", CAST(count(tool_meta) AS BIGINT), CAST(coalesce(sum(length(tool_meta)), 0) AS BIGINT)"
+        if evolved
+        else ""
+    )
     q = f"""
         WITH w AS (
             SELECT conv_id, turn_idx,
                    arg_max(op,   {_LWW_KEY}) AS op,
-                   arg_max(text, {_LWW_KEY}) AS text
-            FROM read_parquet('{wal}/segment=*/*.parquet')
+                   arg_max(text, {_LWW_KEY}) AS text{meta_sel}
+            FROM read_parquet('{wal}/segment=*/*.parquet', union_by_name=true)
             WHERE conv_id IS NOT NULL AND conv_id <> '' AND turn_idx IS NOT NULL
             GROUP BY conv_id, turn_idx)
         SELECT count(*), count(DISTINCT conv_id),
-               CAST(sum(length(text)) AS BIGINT), CAST(sum(turn_idx) AS BIGINT)
+               CAST(sum(length(text)) AS BIGINT), CAST(sum(turn_idx) AS BIGINT){meta_out}
         FROM w WHERE op <> 'D'
     """
     return [int(x) for x in con.sql(q).fetchone()]
@@ -89,6 +98,11 @@ def main() -> None:
                          "computed BEFORE ingest since the WAL won't exist "
                          "after")
     ap.add_argument("--keep-snapshots", type=int, default=4)
+    ap.add_argument("--evolve-at-segment", type=int, default=None,
+                    help="segments >= this index carry the v2 schema "
+                         "(tool_meta added, turn_idx widened int32->int64): "
+                         "exercises live schema evolution mid-run at bench "
+                         "scale; the signature gains 2 tool_meta components")
     args = ap.parse_args()
 
     from trde703_openfoodfacts_etl_spark import build_session
@@ -99,8 +113,9 @@ def main() -> None:
 
     n_batches = args.events // args.batch_events
     scratch = os.path.join(REPO, "_scratch", "bigrun")
-    wal = os.path.join(scratch, f"wal_{args.events}")
-    lake_dir = os.path.join(scratch, f"lake_{args.events}")
+    evo_tag = f"_evo{args.evolve_at_segment}" if args.evolve_at_segment is not None else ""
+    wal = os.path.join(scratch, f"wal_{args.events}{evo_tag}")
+    lake_dir = os.path.join(scratch, f"lake_{args.events}{evo_tag}")
     shutil.rmtree(lake_dir, ignore_errors=True)
 
     spark = build_session(app_name="bigrun", cores=32, shuffle_partitions=64)
@@ -112,6 +127,7 @@ def main() -> None:
             n_events=args.events,
             n_convs=max(1000, args.events // 100),
             n_segments=n_batches,
+            v2_from_segment=args.evolve_at_segment,
         )
         print(f"WAL generated: {args.events:,} events in {time.time()-t0:.0f}s",
               flush=True)
@@ -131,9 +147,10 @@ def main() -> None:
 
     oracle_sig = None
     oracle_sec = None
+    evolved = args.evolve_at_segment is not None
     if args.purge_consumed:
         t0 = time.time()
-        oracle_sig = duckdb_signature(wal)
+        oracle_sig = duckdb_signature(wal, evolved=evolved)
         oracle_sec = time.time() - t0
         print("oracle signature (pre-ingest):", oracle_sig,
               f"({oracle_sec:.0f}s)", flush=True)
@@ -201,24 +218,28 @@ def main() -> None:
     # engine signature
     from pyspark.sql import functions as F
 
-    sig = (
-        lake.read()
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.countDistinct("conv_id").alias("convs"),
-            F.sum(F.length("text")).alias("chars"),
-            F.sum("turn_idx").alias("turns"),
-        )
-        .first()
-    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("conv_id").alias("convs"),
+        F.sum(F.length("text")).alias("chars"),
+        F.sum("turn_idx").alias("turns"),
+    ]
+    if evolved:
+        aggs += [
+            F.count("tool_meta").alias("meta_n"),
+            F.sum(F.length("tool_meta")).alias("meta_chars"),
+        ]
+    sig = lake.read().agg(*aggs).first()
     engine_sig = [sig.n, sig.convs, int(sig.chars or 0), int(sig.turns or 0)]
+    if evolved:
+        engine_sig += [int(sig.meta_n or 0), int(sig.meta_chars or 0)]
     print("engine signature:", engine_sig, flush=True)
 
     # independent DuckDB LWW oracle over the raw WAL (already computed
     # pre-ingest when the WAL is purged as it is consumed)
     if oracle_sig is None:
         t0 = time.time()
-        oracle_sig = duckdb_signature(wal)
+        oracle_sig = duckdb_signature(wal, evolved=evolved)
         oracle_sec = time.time() - t0
     print("oracle signature:", oracle_sig, f"({oracle_sec:.0f}s)", flush=True)
 
@@ -227,6 +248,7 @@ def main() -> None:
         "batches": len(batch_walls),
         "batch_events": args.batch_events,
         "buckets": args.buckets,
+        "evolve_at_segment": args.evolve_at_segment,
         "ingest_wall_sec": round(ingest_wall, 1),
         "sustained_events_per_sec": round(args.events / ingest_wall, 0),
         "batch_walls": [round(w, 1) for w in batch_walls],
@@ -240,7 +262,7 @@ def main() -> None:
         "signature_equal": engine_sig == oracle_sig,
         "oracle_sec": round(oracle_sec, 1),
     }
-    path = os.path.join(REPO, "BENCH", f"bigrun_{args.events}.json")
+    path = os.path.join(REPO, "BENCH", f"bigrun_{args.events}{evo_tag}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: v for k, v in out.items() if k != "batch_walls"}))

@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""MOR read-amplification operating curve (VERDICT r4 item 2).
+
+``auto_compact_after`` bounds per-bucket delta file depth, but no number
+said what a given depth COSTS a reader. This measures it: on a 10M-event
+lake (bench scale), build final states whose buckets carry delta depths
+0 / 6 / 12 / 24 files over an otherwise-identical base, then time
+
+- **latest-state scan**: full ``lake.read()`` materialized to the noop sink
+  (what any analytics query over current state pays first);
+- **single-key lookup**: manifest-pruned one-bucket read + LWW resolve +
+  key filter (the point-query path, ``read(buckets=[b])``).
+
+Each depth gets its own lake built from the SAME WAL: compact after batch
+(n_batches - d), then apply the remaining d batches as deltas — so every
+measured state holds the same 10M events and differs only in pending delta
+depth. Medians of --trials runs. The recommended ``auto_compact_after`` —
+the deepest depth whose scan stays under 1.5x the depth-0 scan — is
+computed from the measured curve and written into the JSON.
+
+Run:  python scripts/mor_readamp.py [--events 10000000] [--depths 0 6 12 24]
+Writes BENCH/mor_readamp.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=10_000_000)
+    ap.add_argument("--segments", type=int, default=24)
+    ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument("--depths", type=int, nargs="+", default=[0, 6, 12, 24])
+    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--cores", type=int, default=32)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from trde703_openfoodfacts_etl_spark import build_session
+    from trde703_openfoodfacts_etl_spark.schema import TRANSCRIPT_SCHEMA
+    from trde703_openfoodfacts_etl_spark.sources.genfeed import generate_segments_spark
+    from trde703_openfoodfacts_etl_spark.sources.lake import LakeTable, bucket_expr
+    from trde703_openfoodfacts_etl_spark.streaming.pipeline import (
+        list_segments,
+        run_incremental,
+    )
+
+    scratch = os.path.join(REPO, "_scratch", "readamp")
+    wal = os.path.join(scratch, "wal")
+    spark = build_session(app_name="mor_readamp", cores=args.cores,
+                         shuffle_partitions=2 * args.cores)
+    if not os.path.exists(os.path.join(wal, "_SUCCESS")):
+        shutil.rmtree(wal, ignore_errors=True)
+        generate_segments_spark(spark, wal, n_events=args.events,
+                                n_convs=max(1000, args.events // 100),
+                                n_segments=args.segments)
+    n_files = len(list_segments(wal))
+    per_batch = max(1, (n_files + args.segments - 1) // args.segments)
+
+    # a mid-popularity key for the point-lookup probe (deterministic)
+    probe_key = "conv_00000017"
+    probe_bucket = (
+        spark.createDataFrame([(probe_key,)], "c string")
+        .select(bucket_expr(args.buckets, col="c").alias("b"))
+        .first()["b"]
+    )
+
+    curve = []
+    for depth in args.depths:
+        lake_dir = os.path.join(scratch, f"lake_d{depth}")
+        shutil.rmtree(lake_dir, ignore_errors=True)
+        lake = LakeTable.create(spark, lake_dir, TRANSCRIPT_SCHEMA,
+                                num_buckets=args.buckets)
+        t0 = time.time()
+        n_base = args.segments - depth
+        if n_base > 0:
+            run_incremental(lake, wal, segments_per_batch=per_batch,
+                            max_batches=n_base, mode="mor")
+            lake.compact()
+        run_incremental(lake, wal, segments_per_batch=per_batch, mode="mor")
+        build_sec = time.time() - t0
+        pressure = lake.delta_pressure()
+        actual_depth = max(pressure.values()) if pressure else 0
+
+        scans, lookups = [], []
+        for _ in range(args.trials):
+            t0 = time.time()
+            lake.read().write.format("noop").mode("overwrite").save()
+            scans.append(time.time() - t0)
+            t0 = time.time()
+            n = (
+                lake.read(buckets=[probe_bucket])
+                .filter(F.col("conv_id") == probe_key)
+                .count()
+            )
+            lookups.append(time.time() - t0)
+        row = {
+            "depth_requested": depth,
+            "depth_actual_max_files": actual_depth,
+            "delta_buckets": len(pressure),
+            "build_sec": round(build_sec, 1),
+            "scan_sec_median": round(statistics.median(scans), 2),
+            "scan_sec_all": [round(s, 2) for s in scans],
+            "lookup_sec_median": round(statistics.median(lookups), 3),
+            "lookup_sec_all": [round(s, 3) for s in lookups],
+            "lookup_rows": n,
+        }
+        curve.append(row)
+        print(json.dumps(row), flush=True)
+        shutil.rmtree(lake_dir, ignore_errors=True)
+
+    base = next((r for r in curve if r["depth_requested"] == 0), curve[0])
+    rec = max(
+        (
+            r["depth_requested"]
+            for r in curve
+            if r["scan_sec_median"] <= 1.5 * base["scan_sec_median"]
+        ),
+        default=0,
+    )
+    out = {
+        "events": args.events,
+        "buckets": args.buckets,
+        "trials": args.trials,
+        "curve": curve,
+        "scan_amp_vs_depth0": {
+            str(r["depth_requested"]): round(
+                r["scan_sec_median"] / base["scan_sec_median"], 2
+            )
+            for r in curve
+        },
+        "lookup_amp_vs_depth0": {
+            str(r["depth_requested"]): round(
+                r["lookup_sec_median"] / base["lookup_sec_median"], 2
+            )
+            for r in curve
+        },
+        "recommended_auto_compact_after": rec,
+        "criterion": "deepest depth with median scan <= 1.5x depth-0 scan",
+    }
+    with open(os.path.join(REPO, "BENCH", "mor_readamp.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: v for k, v in out.items() if k != "curve"}))
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

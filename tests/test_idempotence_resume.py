@@ -164,3 +164,27 @@ def test_two_streams_one_lake_interleaved(spark, tmp_path):
     assert snap["streams"]["feed_a"] == 1 and snap["streams"]["feed_b"] == 0
     assert "segment=1" in snap["stream_hwm"]["feed_a"]
     assert "segment=0" in snap["stream_hwm"]["feed_b"]
+
+
+def test_vacuum_survives_and_sweeps_commit_temp_litter(spark, tmp_path):
+    """Chaos-campaign regression: a writer killed between its CAS temp write
+    and the link leaves snapshot-*.json.tmp.* in manifests/. vacuum must
+    (a) not choke parsing it, (b) sweep it once it is old enough to be an
+    orphan, (c) leave fresh temps for the in-flight writer."""
+    import time
+
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    apply_batch(lake, make_events(spark, [("I", 1, "c1", 0, "user", "a", None, 100)]), 0)
+    apply_batch(lake, make_events(spark, [("U", 2, "c1", 0, "user", "b", None, 200)]), 1)
+    mdir = os.path.join(str(tmp_path / "lake"), "manifests")
+    stale = os.path.join(mdir, "snapshot-000000000099.json.tmp.123.dead")
+    fresh = os.path.join(mdir, "snapshot-000000000099.json.tmp.456.live")
+    for p in (stale, fresh):
+        with open(p, "w") as f:
+            f.write("{}")
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+    lake.vacuum(keep_snapshots=1)  # must not raise
+    assert not os.path.exists(stale)  # orphan swept
+    assert os.path.exists(fresh)  # in-flight writer's temp untouched
+    assert lake.read().select("text").first()[0] == "b"

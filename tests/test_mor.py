@@ -234,3 +234,38 @@ def test_mor_long_run_maintenance_loop(spark, tmp_path):
         for b in s["buckets"].values():
             live.update(fe["path"] for fe in b["files"])
     assert len(data_files) <= len(live) + 8
+
+
+def test_mor_correct_at_depth_24(spark, tmp_path):
+    """Correctness at the deepest measured point of the read-amplification
+    curve (scripts/mor_readamp.py): 24 uncompacted delta batches per bucket
+    — read-path LWW must still resolve exactly, both for full scans and for
+    the manifest-pruned single-bucket lookup path."""
+    from pyspark.sql import functions as F
+
+    from trde703_openfoodfacts_etl_spark.sources.lake import bucket_expr
+
+    wal = str(tmp_path / "wal")
+    generate_segments(wal, n_convs=60, n_events=12_000, n_segments=24, seed=77)
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, num_buckets=2)
+    run_incremental(lake, wal, segments_per_batch=1, mode="mor")
+    depth = max(lake.delta_pressure().values())
+    assert depth >= 24
+    oracle = duckdb_replay_oracle(f"{wal}/*.parquet")
+    assert_states_equal(lake_state_pdf(lake), oracle)
+    # single-bucket point lookup at full depth
+    key = oracle["conv_id"].iloc[0]
+    b = (
+        spark.createDataFrame([(key,)], "c string")
+        .select(bucket_expr(2, col="c").alias("b"))
+        .first()["b"]
+    )
+    got = (
+        lake.read(buckets=[b])
+        .filter(F.col("conv_id") == key)
+        .orderBy("turn_idx")
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .toPandas()
+    )
+    want = oracle[oracle["conv_id"] == key].reset_index(drop=True)
+    assert_states_equal(got, want)

@@ -63,7 +63,12 @@ class LocalManifestIO:
         try:
             os.link(tmp, path)
         finally:
-            os.unlink(tmp)
+            # missing_ok: an orphan-sweeper (vacuum) may have raced us on a
+            # long-stalled temp; its absence must not shadow the link result
+            import contextlib
+
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(tmp)
 
     def parquet_stats(self, path: str) -> tuple[int, int]:
         """(num_rows, file_bytes) from the parquet footer."""

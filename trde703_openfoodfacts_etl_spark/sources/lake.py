@@ -798,13 +798,31 @@ class LakeTable:
             .select(*KEY_COLS, *[F.col(f"n.{c}").alias(c) for c in user_cols], "change_type")
         )
 
-    def vacuum(self, keep_snapshots: int = 2) -> list[str]:
+    def vacuum(self, keep_snapshots: int = 2, orphan_tmp_age_sec: float = 3600.0) -> list[str]:
         """Delete data files referenced only by snapshots older than the
-        newest `keep_snapshots` (and those manifests). Returns removed paths."""
+        newest `keep_snapshots` (and those manifests). Returns removed paths.
+
+        Also sweeps commit-temp litter: a writer that died between its CAS
+        temp write and the link leaves ``snapshot-*.json.tmp.*`` behind
+        (chaos-campaign finding — the old id parse choked on it). Temps
+        older than ``orphan_tmp_age_sec`` are orphans by definition (a live
+        CAS holds its temp for milliseconds) and are removed; younger ones
+        are left for the in-flight writer."""
+        mdir = os.path.join(self.root, MANIFEST_DIR)
+        names = self.io.list_names(mdir)
+        now = time.time()
+        for f in names:
+            if ".json.tmp." in f:
+                p = os.path.join(mdir, f)
+                try:
+                    if now - os.path.getmtime(p) > orphan_tmp_age_sec:
+                        self.io.remove(p)
+                except OSError:
+                    pass  # raced with the writer's own cleanup
         ids = sorted(
             int(f[len("snapshot-") : -len(".json")])
-            for f in self.io.list_names(os.path.join(self.root, MANIFEST_DIR))
-            if f.startswith("snapshot-")
+            for f in names
+            if f.startswith("snapshot-") and f.endswith(".json")
         )
         keep = set(ids[-keep_snapshots:])
         live: set[str] = set()
