@@ -122,13 +122,31 @@ def main() -> None:
         shutil.rmtree(lake_dir, ignore_errors=True)
 
     base = next((r for r in curve if r["depth_requested"] == 0), curve[0])
-    rec = max(
+    nonzero = [r for r in curve if r["depth_requested"] > 0]
+    # read-heavy: deepest depth whose scan stays within 1.5x a compacted
+    # scan (if the first delta already blows past that — the LWW resolve is
+    # a step cost — the answer is 0: compact every batch / use COW)
+    rec_read = max(
         (
             r["depth_requested"]
             for r in curve
             if r["scan_sec_median"] <= 1.5 * base["scan_sec_median"]
         ),
         default=0,
+    )
+    # ingest-heavy: once past the step, allow depth until the climb beyond
+    # the first delta depth exceeds 1.5x (marginal file cost, not the step)
+    rec_ingest = (
+        max(
+            (
+                r["depth_requested"]
+                for r in nonzero
+                if r["scan_sec_median"] <= 1.5 * nonzero[0]["scan_sec_median"]
+            ),
+            default=nonzero[0]["depth_requested"],
+        )
+        if nonzero
+        else 0
     )
     out = {
         "events": args.events,
@@ -147,8 +165,14 @@ def main() -> None:
             )
             for r in curve
         },
-        "recommended_auto_compact_after": rec,
-        "criterion": "deepest depth with median scan <= 1.5x depth-0 scan",
+        "recommended_auto_compact_after_read_heavy": rec_read,
+        "recommended_auto_compact_after_ingest_heavy": rec_ingest,
+        "criteria": {
+            "read_heavy": "deepest depth with median scan <= 1.5x depth-0 scan",
+            "ingest_heavy": "deepest depth with median scan <= 1.5x the first "
+                            "nonzero depth's scan (step cost of the read-time "
+                            "LWW resolve excluded, marginal file cost bounded)",
+        },
     }
     with open(os.path.join(REPO, "BENCH", "mor_readamp.json"), "w") as f:
         json.dump(out, f, indent=1)
