@@ -54,30 +54,48 @@ def duckdb_signature(wal: str, evolved: bool = False) -> list[int]:
     arg_max-per-key formulation (proven equal to the row_number window
     oracle on smaller WALs) with bounded memory + disk spill so it
     completes at any event count this sandbox's disk can hold.
+
+    NULL-safety: DuckDB's ``arg_max(col, key)`` SKIPS rows whose arg is
+    NULL, silently substituting an OLDER row's value when the true LWW
+    winner carries NULL in that column — exactly what happens to
+    ``tool_meta`` on keys whose winner predates the v2 cutover. (Found when
+    the engine's 6-component signature disagreed with the first oracle
+    formulation at 100M; the engine was right.) Nullable winner columns are
+    therefore coalesced to a sentinel (``chr(1)`` — cannot occur in the
+    generated text) before arg_max and nullif'd back after. A struct-packed
+    single arg_max would be cleaner but its aggregate state OOM-killed the
+    100M run; the per-column form is the one proven to 300M.
     """
     import duckdb
 
     con = duckdb.connect()
     con.execute("SET threads=24")
-    con.execute("SET memory_limit='48GB'")
+    con.execute("SET memory_limit='42GB'")
     os.makedirs(os.path.join(REPO, "_scratch", "duckdb_tmp"), exist_ok=True)
     con.execute(f"SET temp_directory='{os.path.join(REPO, '_scratch', 'duckdb_tmp')}'")
-    meta_sel = f", arg_max(tool_meta, {_LWW_KEY}) AS tool_meta" if evolved else ""
+    meta_sel = (
+        f", nullif(arg_max(coalesce(tool_meta, chr(1)), {_LWW_KEY}), chr(1)) AS tool_meta"
+        if evolved
+        else ""
+    )
     meta_out = (
-        ", CAST(count(tool_meta) AS BIGINT), CAST(coalesce(sum(length(tool_meta)), 0) AS BIGINT)"
+        ", CAST(count(tool_meta) AS BIGINT),"
+        " CAST(coalesce(sum(length(tool_meta)), 0) AS BIGINT)"
         if evolved
         else ""
     )
     q = f"""
         WITH w AS (
             SELECT conv_id, turn_idx,
-                   arg_max(op,   {_LWW_KEY}) AS op,
-                   arg_max(text, {_LWW_KEY}) AS text{meta_sel}
+                   arg_max(op, {_LWW_KEY}) AS op,
+                   nullif(arg_max(coalesce(text, chr(1)), {_LWW_KEY}), chr(1)) AS text
+                   {meta_sel}
             FROM read_parquet('{wal}/segment=*/*.parquet', union_by_name=true)
             WHERE conv_id IS NOT NULL AND conv_id <> '' AND turn_idx IS NOT NULL
             GROUP BY conv_id, turn_idx)
         SELECT count(*), count(DISTINCT conv_id),
-               CAST(sum(length(text)) AS BIGINT), CAST(sum(turn_idx) AS BIGINT){meta_out}
+               CAST(sum(length(text)) AS BIGINT),
+               CAST(sum(turn_idx) AS BIGINT){meta_out}
         FROM w WHERE op <> 'D'
     """
     return [int(x) for x in con.sql(q).fetchone()]
