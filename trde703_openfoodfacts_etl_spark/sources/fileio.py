@@ -86,6 +86,11 @@ class LocalManifestIO:
     def remove(self, path: str) -> None:
         os.remove(path)
 
+    def mtime(self, path: str) -> float:
+        """Last-modified unix time (object store: LastModified metadata).
+        Used by vacuum's orphan-commit-temp sweep."""
+        return os.path.getmtime(path)
+
     def remove_tree(self, path: str) -> None:
         """Recursive delete (used only for epoch dirs that ended up empty —
         an object store has no dirs, so the non-local impl is a prefix

@@ -815,7 +815,7 @@ class LakeTable:
             if ".json.tmp." in f:
                 p = os.path.join(mdir, f)
                 try:
-                    if now - os.path.getmtime(p) > orphan_tmp_age_sec:
+                    if now - self.io.mtime(p) > orphan_tmp_age_sec:
                         self.io.remove(p)
                 except OSError:
                     pass  # raced with the writer's own cleanup
