@@ -148,3 +148,48 @@ def test_vacuum_reclaims_old_layout_files(spark, tmp_path, wal_dir):
     n_after = len(glob.glob(os.path.join(root, "data", "**", "*.parquet"), recursive=True))
     assert n_after < n_before  # pre-rebucket layout physically reclaimed
     assert_states_equal(lake_state_pdf(lake), duckdb_replay_oracle(f"{wal_dir}/*.parquet"))
+
+
+def test_rebucket_cas_conflict_raises(spark, tmp_path, monkeypatch):
+    """A concurrent writer committing INSIDE rebucket's read→commit window
+    makes the rebucket lose the manifest CAS and raise SnapshotConflict
+    (same single-attempt contract as compact): the caller re-runs against
+    the new head; the loser's epoch files stay orphaned until vacuum."""
+    from trde703_openfoodfacts_etl_spark.sources.lake import SnapshotConflict
+
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, num_buckets=2)
+    apply_batch(lake, make_events(spark, [("I", 1, "c1", 0, "user", "a", None, 10)]), 0)
+
+    orig = LakeTable.write_bucket_files
+    fired = {"done": False}
+
+    def racing_wbf(self, *a, **kw):
+        out = orig(self, *a, **kw)
+        if not fired["done"]:
+            fired["done"] = True
+            head = self.snapshot()
+            self._write_snapshot({**head, "snapshot_id": head["snapshot_id"] + 1,
+                                  "parent": head["snapshot_id"]})
+        return out
+
+    monkeypatch.setattr(LakeTable, "write_bucket_files", racing_wbf)
+    with pytest.raises(SnapshotConflict):
+        lake.rebucket(8)
+    # retry against the new head succeeds and preserves state
+    assert lake.rebucket(8)["num_buckets"] == 8
+    assert list(lake_state_pdf(lake)["text"]) == ["a"]
+
+
+def test_maybe_rebucket_policy(spark, tmp_path):
+    """maybe_rebucket grows the bucket count geometrically once mean bytes
+    per occupied bucket crosses the target; below target / at cap it is a
+    no-op returning None."""
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, num_buckets=2)
+    apply_batch(lake, make_events(
+        spark, [("I", i, f"c{i}", 0, "user", "x" * 200, None, i) for i in range(1, 60)]
+    ), 0)
+    assert lake.maybe_rebucket(target_bucket_bytes=1 << 40) is None  # under target
+    snap = lake.maybe_rebucket(target_bucket_bytes=1)  # over target
+    assert snap is not None and snap["num_buckets"] == 8  # 2 * factor 4
+    assert lake.maybe_rebucket(target_bucket_bytes=1, max_buckets=8) is None  # at cap
+    assert lake.read().count() == 59

@@ -754,6 +754,35 @@ class LakeTable:
         self._write_snapshot(new)
         return new
 
+    def maybe_rebucket(
+        self,
+        target_bucket_bytes: int = 1 << 30,
+        growth_factor: int = 4,
+        max_buckets: int = 4096,
+        files_per_bucket: int = 1,
+    ) -> dict | None:
+        """Rebucket policy (the :meth:`maybe_compact` analog for layout):
+        when the mean bytes per occupied bucket exceeds
+        ``target_bucket_bytes``, grow the bucket count by ``growth_factor``
+        (geometric — each rewrite buys factor× headroom, so total rewrite
+        work over the table's lifetime is O(size · log_factor(growth)))
+        capped at ``max_buckets``. Pure manifest arithmetic — no scan; in
+        production this runs on the maintenance cadence next to
+        ``maybe_compact``/``vacuum``. Returns the new snapshot or None."""
+        snap = self.snapshot()
+        occupied = [b for b in snap["buckets"].values() if b["files"]]
+        if not occupied:
+            return None
+        total = sum(fe["bytes"] for b in occupied for fe in b["files"])
+        if total / len(occupied) <= target_bucket_bytes:
+            return None
+        cur = int(snap["num_buckets"])
+        if cur >= max_buckets:
+            return None
+        return self.rebucket(
+            min(cur * growth_factor, max_buckets), files_per_bucket=files_per_bucket
+        )
+
     def changes(self, from_snapshot: int, to_snapshot: int | None = None):
         """Changelog between two snapshots (CDC-out): one row per key whose
         state differs, with change_type ∈ {insert, update, delete}.
