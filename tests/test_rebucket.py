@@ -193,3 +193,16 @@ def test_maybe_rebucket_policy(spark, tmp_path):
     assert snap is not None and snap["num_buckets"] == 8  # 2 * factor 4
     assert lake.maybe_rebucket(target_bucket_bytes=1, max_buckets=8) is None  # at cap
     assert lake.read().count() == 59
+
+
+def test_auto_rebucket_in_ingest_loop(spark, tmp_path, wal_dir):
+    """run_incremental(auto_rebucket_target_bytes=...) grows the layout
+    mid-ingest as the table crosses the per-bucket byte target, and the
+    final state still equals the oracle."""
+    from trde703_openfoodfacts_etl_spark.streaming.pipeline import run_incremental
+
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, num_buckets=2)
+    run_incremental(lake, wal_dir, segments_per_batch=1, mode="mor",
+                    auto_compact_after=1, auto_rebucket_target_bytes=20_000)
+    assert lake.snapshot()["num_buckets"] > 2  # policy fired mid-ingest
+    assert_states_equal(lake_state_pdf(lake), duckdb_replay_oracle(f"{wal_dir}/*.parquet"))

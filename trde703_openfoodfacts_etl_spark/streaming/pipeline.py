@@ -163,6 +163,7 @@ def run_incremental(
     auto_compact_after: int | None = None,
     auto_vacuum_every: int | None = None,
     vacuum_keep_snapshots: int = 4,
+    auto_rebucket_target_bytes: int | None = None,
     json_payload_schema=None,
 ) -> list[dict]:
     """Tail the WAL directory batch by batch; resumable + idempotent.
@@ -185,6 +186,10 @@ def run_incremental(
     ``vacuum_keep_snapshots`` — long-running ingest keeps a bounded file
     count while time travel stays available inside the keep window (the
     maintenance-job analog of ``maybe_compact``).
+    ``auto_rebucket_target_bytes``: after each batch, grow the bucket count
+    (``LakeTable.maybe_rebucket``, geometric ×4) once mean bytes per
+    occupied bucket crosses the target — the table's layout keeps pace with
+    unbounded growth without operator intervention.
     """
     segs = list_segments(segments_dir)
     hwm = lake.last_segment_hwm(stream_id)
@@ -214,6 +219,8 @@ def run_incremental(
         )
         if auto_compact_after is not None and mode == "mor":
             lake.maybe_compact(max_delta_files=auto_compact_after)
+        if auto_rebucket_target_bytes is not None:
+            lake.maybe_rebucket(target_bucket_bytes=auto_rebucket_target_bytes)
         if auto_vacuum_every is not None and len(out) % auto_vacuum_every == 0:
             lake.vacuum(keep_snapshots=vacuum_keep_snapshots)
     return out
