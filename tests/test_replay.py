@@ -88,3 +88,25 @@ def test_run_stream_rejects_mid_stream_schema_evolution(spark, tmp_path):
         )
     # foreachBatch wraps user exceptions: the loud message must surface
     assert "run_incremental" in str(ei.value) and "tool_meta" in str(ei.value)
+
+
+def test_structured_streaming_maintained_mor(spark, tmp_path, wal_dir):
+    """run_stream with the full maintenance loop live (MOR + auto-compact +
+    vacuum + auto-rebucket inside foreachBatch): final state equals the
+    oracle, the rebucket policy fired, and compaction bounded delta depth."""
+    lake = LakeTable.create(spark, str(tmp_path / "lake4"), TRANSCRIPT_SCHEMA, num_buckets=2)
+    run_stream(
+        lake,
+        wal_dir,
+        CDC_SCHEMA,
+        checkpoint_dir=str(tmp_path / "ckpt4"),
+        max_files_per_trigger=1,
+        mode="mor",
+        auto_compact_after=1,
+        auto_vacuum_every=2,
+        vacuum_keep_snapshots=2,
+        auto_rebucket_target_bytes=20_000,
+    )
+    assert lake.snapshot()["num_buckets"] > 2  # policy fired mid-stream
+    assert max(lake.delta_pressure().values(), default=0) <= 1  # compaction kept pace
+    assert_states_equal(lake_state_pdf(lake), duckdb_replay_oracle(f"{wal_dir}/*.parquet"))

@@ -234,12 +234,28 @@ def run_stream(
     stream_id: str = "stream",
     transform=None,
     max_files_per_trigger: int = 4,
+    files_per_bucket: int = 1,
+    mode: str = "cow",
+    auto_compact_after: int | None = None,
+    auto_vacuum_every: int | None = None,
+    vacuum_keep_snapshots: int = 4,
+    auto_rebucket_target_bytes: int | None = None,
 ):
     """Structured Streaming driver: readStream → foreachBatch(merge).
 
     Runs with the available-now trigger (drains everything currently in the
     WAL directory, then stops) so tests and bench runs are synchronous; a
     production deployment drops the trigger for continuous tailing.
+
+    The maintenance knobs mirror :func:`run_incremental` — a continuous
+    deployment never returns to an operator between batches, so compaction
+    (``auto_compact_after``, MOR only), snapshot/file GC
+    (``auto_vacuum_every`` / ``vacuum_keep_snapshots``) and bucket-layout
+    growth (``auto_rebucket_target_bytes``) run inside ``foreachBatch``,
+    after the batch's lake commit. A crash between the commit and its
+    maintenance loses nothing: maintenance is state-derived (delta depth,
+    snapshot count, bytes/bucket), so the next batch's pass re-evaluates
+    the same conditions.
 
     A Spark streaming source cannot change schema mid-query, so the declared
     ``source_schema`` is fixed — a segment whose parquet footer carries
@@ -311,7 +327,18 @@ def run_stream(
     def _apply(batch_df, batch_id: int):
         _assert_footer_schemas()
         df = transform(batch_df) if transform is not None else batch_df
-        metrics.append(apply_batch(lake, df, batch_id, stream_id=stream_id))
+        metrics.append(
+            apply_batch(
+                lake, df, batch_id, stream_id=stream_id,
+                files_per_bucket=files_per_bucket, mode=mode,
+            )
+        )
+        if auto_compact_after is not None and mode == "mor":
+            lake.maybe_compact(max_delta_files=auto_compact_after)
+        if auto_rebucket_target_bytes is not None:
+            lake.maybe_rebucket(target_bucket_bytes=auto_rebucket_target_bytes)
+        if auto_vacuum_every is not None and len(metrics) % auto_vacuum_every == 0:
+            lake.vacuum(keep_snapshots=vacuum_keep_snapshots)
 
     q = (
         stream.writeStream.foreachBatch(_apply)
