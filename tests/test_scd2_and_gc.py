@@ -252,3 +252,82 @@ def test_changes_and_time_travel_past_vacuum_fail_loudly(spark, tmp_path):
         lake.read(snapshot_id=1)
     # inside the keep window still works
     assert lake.changes(from_snapshot=lake.latest_id() - 1).count() >= 0
+
+
+_CHILD_WRITER_SRC = """
+import sys
+from pyspark.sql import SparkSession, functions as F
+from trde703_openfoodfacts_etl_spark.schema import TRANSCRIPT_SCHEMA
+from trde703_openfoodfacts_etl_spark.sources.genfeed import generate_segments
+from trde703_openfoodfacts_etl_spark.sources.lake import LakeTable
+from trde703_openfoodfacts_etl_spark.streaming.pipeline import run_incremental
+
+root, wal, sid, prefix, seed = sys.argv[1:6]
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.ui.enabled", "false").getOrCreate())
+generate_segments(wal, n_convs=60, n_events=4000, n_segments=3, seed=int(seed))
+lake = LakeTable(spark, root)
+out = run_incremental(
+    lake, wal, stream_id=sid, segments_per_batch=1,
+    transform=lambda df: df.withColumn(
+        "conv_id", F.concat(F.lit(prefix), F.col("conv_id"))),
+)
+assert len(out) == 3, out
+"""
+
+
+def test_concurrent_writers_process_race(spark, tmp_path):
+    """Cross-PROCESS concurrency: two independent driver JVMs (own
+    SparkSessions) each run a 3-batch incremental ingest of their own
+    stream into the SAME lake directory at the same time. The manifest CAS
+    (temp + fsync + os.link — atomic across processes on one filesystem)
+    serializes the commits; apply_batch's conflict retry re-reads the head,
+    so both streams land exactly once, the final state equals the combined
+    per-stream oracles, and the lineage is one unbroken parent chain."""
+    import os
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    from helpers import assert_states_equal, duckdb_replay_oracle, lake_state_pdf
+
+    root = str(tmp_path / "lake_xproc")
+    LakeTable.create(spark, root, TRANSCRIPT_SCHEMA, num_buckets=4)
+    env = {**os.environ, "PYTHONPATH": os.getcwd()}
+    procs, wals = [], {}
+    for sid, prefix, seed in (("sa", "a-", 7), ("sb", "b-", 8)):
+        wals[prefix] = str(tmp_path / f"wal_{sid}")
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", _CHILD_WRITER_SRC,
+                 root, wals[prefix], sid, prefix, str(seed)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+        )
+    for p in procs:
+        out, _ = p.communicate(timeout=540)
+        assert p.returncode == 0, out.decode(errors="replace")[-3000:]
+
+    oracle = pd.concat(
+        [
+            duckdb_replay_oracle(f"{wals[pfx]}/*.parquet").assign(
+                conv_id=lambda d, pfx=pfx: pfx + d["conv_id"]
+            )
+            for pfx in ("a-", "b-")
+        ]
+    ).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    lake = LakeTable(spark, root)
+    assert_states_equal(lake_state_pdf(lake), oracle)
+
+    # lineage: init + 6 commits in one parent chain; both streams' batch
+    # markers and segment watermarks survived the interleaving
+    head = lake.snapshot()
+    chain = [head["snapshot_id"]]
+    while head["parent"] is not None:
+        head = lake.snapshot(head["parent"])
+        chain.append(head["snapshot_id"])
+    assert len(chain) == 7
+    assert lake.last_batch_id("sa") == 2 and lake.last_batch_id("sb") == 2
