@@ -49,6 +49,17 @@ class ChaosKill(BaseException):
     handler can swallow it — like a real SIGKILL, nothing downstream runs."""
 
 
+class StreamChaosKill(Exception):
+    """Kill form for the --driver stream campaign. A BaseException raised
+    inside the py4j foreachBatch callback never sends a response to the JVM
+    (py4j's callback loop only handles Exception), so the streaming query
+    waits forever — measured, not theorized. An Exception-based kill fails
+    the epoch and the query instead: the fault model is "query aborted
+    mid-epoch", and the checkpoint restart must redeliver that epoch. TRUE
+    process death for the streaming path (SIGKILL between lake commit and
+    streaming commit log) is covered by scripts/stream_resume.py."""
+
+
 SITES = [
     "pre_commit",
     "mid_manifest",
@@ -60,7 +71,7 @@ SITES = [
 ]
 
 
-def install_chaos(lake_cls, io_obj, plan: dict):
+def install_chaos(lake_cls, io_obj, plan: dict, kill_exc=ChaosKill):
     """Wrap engine entry points so that the plan's (site, nth-call) dies.
     Returns an uninstall function restoring the originals."""
     counters = {s: 0 for s in SITES}
@@ -78,10 +89,10 @@ def install_chaos(lake_cls, io_obj, plan: dict):
 
     def commit(self, *a, **kw):
         if should_die("pre_commit"):
-            raise ChaosKill("pre_commit")
+            raise kill_exc("pre_commit")
         out = orig_commit(self, *a, **kw)
         if should_die("post_commit"):
-            raise ChaosKill("post_commit")
+            raise kill_exc("post_commit")
         return out
 
     def write_snapshot(self, snap):
@@ -94,12 +105,12 @@ def install_chaos(lake_cls, io_obj, plan: dict):
                 json.dump(snap, f)
                 f.flush()
                 os.fsync(f.fileno())
-            raise ChaosKill("mid_manifest")
+            raise kill_exc("mid_manifest")
         return orig_write_snap(self, snap)
 
     def write_bucket_files(self, *a, **kw):
         if should_die("pre_write"):
-            raise ChaosKill("pre_write")
+            raise kill_exc("pre_write")
         return orig_wbf(self, *a, **kw)
 
     def compact(self, *a, **kw):
@@ -115,7 +126,7 @@ def install_chaos(lake_cls, io_obj, plan: dict):
                 lake_cls.commit = commit
             # compact returned without committing (nothing to fold): treat
             # as a plain kill at the boundary
-            raise ChaosKill("during_compact(noop)")
+            raise kill_exc("during_compact(noop)")
         return orig_compact(self, *a, **kw)
 
     def rebucket(self, *a, **kw):
@@ -125,18 +136,18 @@ def install_chaos(lake_cls, io_obj, plan: dict):
                 orig_rebucket(self, *a, **kw)
             finally:
                 lake_cls._write_snapshot = write_snapshot
-            raise ChaosKill("during_rebucket(noop)")
+            raise kill_exc("during_rebucket(noop)")
         return orig_rebucket(self, *a, **kw)
 
     def _killer_commit(self, *a, **kw):
-        raise ChaosKill("during_compact(commit)")
+        raise kill_exc("during_compact(commit)")
 
     def _killer_write_snapshot(self, snap):
-        raise ChaosKill("during_rebucket(commit)")
+        raise kill_exc("during_rebucket(commit)")
 
     def remove(path):
         if should_die("mid_vacuum"):
-            raise ChaosKill("mid_vacuum")
+            raise kill_exc("mid_vacuum")
         return orig_remove(path)
 
     lake_cls.commit = commit
@@ -180,6 +191,12 @@ def main() -> None:
     ap.add_argument("--events", type=int, default=30_000)
     ap.add_argument("--convs", type=int, default=400)
     ap.add_argument("--segments", type=int, default=6)
+    ap.add_argument(
+        "--driver", choices=["incremental", "stream"], default="incremental",
+        help="ingest loop under chaos: the binlog microbatcher, or the "
+        "Structured Streaming driver (foreachBatch maintenance + Spark "
+        "checkpoint resume); stream writes BENCH/chaos_replay_stream.json",
+    )
     args = ap.parse_args()
 
     from trde703_openfoodfacts_etl_spark import build_session
@@ -234,25 +251,67 @@ def main() -> None:
             auto_vacuum_every=2,
             vacuum_keep_snapshots=3,
         )
-        uninstall = install_chaos(LakeTable, io, {site: nth})
+        uninstall = install_chaos(
+            LakeTable, io, {site: nth},
+            kill_exc=StreamChaosKill if args.driver == "stream" else ChaosKill,
+        )
         killed_at = None
-        try:
-            run_incremental(lake, wal, max_batches=3, **kw)
-            if do_rebucket:
-                lake.rebucket(rebucket_to)
-            run_incremental(lake, wal, **kw)
-        except ChaosKill as e:
-            killed_at = str(e)
-        finally:
-            uninstall()
+        if args.driver == "stream":
+            # Structured Streaming form: maintenance runs inside
+            # foreachBatch; the rebucket site fires through the auto policy
+            # (maybe_rebucket → rebucket), and resume is a checkpoint
+            # restart that redelivers the killed epoch (the lake's batch-id
+            # marker must no-op any half-delivered one).
+            from trde703_openfoodfacts_etl_spark.schema import CDC_SCHEMA
+            from trde703_openfoodfacts_etl_spark.streaming.pipeline import run_stream
 
-        # resume: new driver, same dirs, no chaos
-        lake2 = LakeTable.create(spark, lake_dir, TRANSCRIPT_SCHEMA,
-                                 num_buckets=4, io=LocalManifestIO())
-        if do_rebucket and lake2.snapshot()["num_buckets"] != rebucket_to:
-            lake2.rebucket(rebucket_to)  # operator re-issues the op
-        run_incremental(lake2, wal, **kw)
-        lake2.compact()
+            ckpt = os.path.join(scratch, f"ckpt_{trial}")
+            skw = dict(
+                mode=mode,
+                max_files_per_trigger=1,
+                auto_compact_after=2 if mode == "mor" else None,
+                auto_vacuum_every=2,
+                vacuum_keep_snapshots=3,
+                auto_rebucket_target_bytes=50_000 if do_rebucket else None,
+            )
+            try:
+                run_stream(lake, wal, CDC_SCHEMA, ckpt, **skw)
+            except StreamChaosKill as e:
+                killed_at = str(e)
+            except Exception as e:
+                # a StreamChaosKill raised inside the foreachBatch callback
+                # surfaces as a StreamingQueryException from the JVM with
+                # the Python traceback embedded in its message
+                if "ChaosKill" not in str(e) and site not in str(e):
+                    raise
+                killed_at = f"{site}(stream)"
+            finally:
+                uninstall()
+
+            # resume: new driver + checkpoint restart, no chaos; the auto
+            # policies (state-derived) re-evaluate whatever died mid-flight
+            lake2 = LakeTable.create(spark, lake_dir, TRANSCRIPT_SCHEMA,
+                                     num_buckets=4, io=LocalManifestIO())
+            run_stream(lake2, wal, CDC_SCHEMA, ckpt, **skw)
+            lake2.compact()
+        else:
+            try:
+                run_incremental(lake, wal, max_batches=3, **kw)
+                if do_rebucket:
+                    lake.rebucket(rebucket_to)
+                run_incremental(lake, wal, **kw)
+            except ChaosKill as e:
+                killed_at = str(e)
+            finally:
+                uninstall()
+
+            # resume: new driver, same dirs, no chaos
+            lake2 = LakeTable.create(spark, lake_dir, TRANSCRIPT_SCHEMA,
+                                     num_buckets=4, io=LocalManifestIO())
+            if do_rebucket and lake2.snapshot()["num_buckets"] != rebucket_to:
+                lake2.rebucket(rebucket_to)  # operator re-issues the op
+            run_incremental(lake2, wal, **kw)
+            lake2.compact()
         sig = engine_signature(lake2)
         ok = sig == oracle_sig
         results.append(
@@ -275,6 +334,7 @@ def main() -> None:
             flush=True,
         )
         shutil.rmtree(lake_dir, ignore_errors=True)
+        shutil.rmtree(os.path.join(scratch, f"ckpt_{trial}"), ignore_errors=True)
 
     fired = sum(1 for r in results if r["killed_at"])
     converged = sum(1 for r in results if r["converged"])
@@ -284,6 +344,7 @@ def main() -> None:
             by_site[r["site"]] = by_site.get(r["site"], 0) + 1
     out = {
         "trials": args.trials,
+        "driver": args.driver,
         "seed": args.seed,
         "events": args.events,
         "fired": fired,
@@ -294,7 +355,8 @@ def main() -> None:
         "campaign_sec": round(time.time() - t_campaign, 1),
         "results": results,
     }
-    path = os.path.join(REPO, "BENCH", "chaos_replay.json")
+    name = "chaos_replay_stream.json" if args.driver == "stream" else "chaos_replay.json"
+    path = os.path.join(REPO, "BENCH", name)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: v for k, v in out.items() if k != "results"}))
