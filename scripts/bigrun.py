@@ -116,6 +116,12 @@ def main() -> None:
                          "computed BEFORE ingest since the WAL won't exist "
                          "after")
     ap.add_argument("--keep-snapshots", type=int, default=4)
+    ap.add_argument("--auto-rebucket-bytes", type=int, default=None,
+                    help="run the maybe_rebucket growth policy after every "
+                         "batch with this mean-bytes-per-occupied-bucket "
+                         "target: start the table small-bucketed and let "
+                         "the layout grow unattended as it fills (records "
+                         "bucket_history + rebucket walls in the output)")
     ap.add_argument("--evolve-at-segment", type=int, default=None,
                     help="segments >= this index carry the v2 schema "
                          "(tool_meta added, turn_idx widened int32->int64): "
@@ -132,6 +138,8 @@ def main() -> None:
     n_batches = args.events // args.batch_events
     scratch = os.path.join(REPO, "_scratch", "bigrun")
     evo_tag = f"_evo{args.evolve_at_segment}" if args.evolve_at_segment is not None else ""
+    if args.auto_rebucket_bytes is not None:
+        evo_tag += "_autorb"
     wal = os.path.join(scratch, f"wal_{args.events}{evo_tag}")
     lake_dir = os.path.join(scratch, f"lake_{args.events}{evo_tag}")
     shutil.rmtree(lake_dir, ignore_errors=True)
@@ -184,6 +192,8 @@ def main() -> None:
 
     batch_walls: list[float] = []
     vacuum_secs: list[float] = []
+    bucket_history: list[int] = []
+    rebucket_secs: list[float] = []
     t_run = time.time()
     i = 0
     while True:
@@ -196,6 +206,14 @@ def main() -> None:
             break
         wall = time.time() - t0
         batch_walls.append(wall)
+        if args.auto_rebucket_bytes is not None:
+            tr = time.time()
+            grew = lake.maybe_rebucket(target_bucket_bytes=args.auto_rebucket_bytes)
+            if grew is not None:
+                rebucket_secs.append(round(time.time() - tr, 1))
+                print(f"  rebucket -> {grew['num_buckets']} buckets "
+                      f"({rebucket_secs[-1]}s)", flush=True)
+        bucket_history.append(int(lake.snapshot()["num_buckets"]))
         if args.purge_consumed:
             from trde703_openfoodfacts_etl_spark.streaming.pipeline import (
                 _natural_key,
@@ -274,6 +292,9 @@ def main() -> None:
         "last10_median_wall": round(last_k, 1),
         "flatness_last_over_first": round(last_k / first_k, 3),
         "vacuum_secs": vacuum_secs,
+        "auto_rebucket_bytes": args.auto_rebucket_bytes,
+        "bucket_history": bucket_history,
+        "rebucket_secs": rebucket_secs,
         "compact_sec": round(compact_sec, 1),
         "engine_signature": engine_sig,
         "oracle_signature": oracle_sig,
