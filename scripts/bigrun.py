@@ -252,23 +252,9 @@ def main() -> None:
     last_k = statistics.median(batch_walls[-k:])
 
     # engine signature
-    from pyspark.sql import functions as F
+    from siglib import engine_signature
 
-    aggs = [
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("conv_id").alias("convs"),
-        F.sum(F.length("text")).alias("chars"),
-        F.sum("turn_idx").alias("turns"),
-    ]
-    if evolved:
-        aggs += [
-            F.count("tool_meta").alias("meta_n"),
-            F.sum(F.length("tool_meta")).alias("meta_chars"),
-        ]
-    sig = lake.read().agg(*aggs).first()
-    engine_sig = [sig.n, sig.convs, int(sig.chars or 0), int(sig.turns or 0)]
-    if evolved:
-        engine_sig += [int(sig.meta_n or 0), int(sig.meta_chars or 0)]
+    engine_sig = engine_signature(lake, evolved=evolved)
     print("engine signature:", engine_sig, flush=True)
 
     # independent DuckDB LWW oracle over the raw WAL (already computed

@@ -168,20 +168,7 @@ def install_chaos(lake_cls, io_obj, plan: dict, kill_exc=ChaosKill):
     return uninstall
 
 
-def engine_signature(lake) -> list[int]:
-    from pyspark.sql import functions as F
-
-    r = (
-        lake.read()
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.countDistinct("conv_id").alias("convs"),
-            F.sum(F.length("text")).alias("chars"),
-            F.sum("turn_idx").alias("turns"),
-        )
-        .first()
-    )
-    return [r["n"], r["convs"], int(r["chars"] or 0), int(r["turns"] or 0)]
+from siglib import engine_signature  # noqa: E402 — shared with the other campaigns
 
 
 def main() -> None:

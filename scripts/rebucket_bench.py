@@ -42,8 +42,6 @@ def main() -> None:
     ap.add_argument("--mode", default="mor", choices=["mor", "cow"])
     args = ap.parse_args()
 
-    from pyspark.sql import functions as F
-
     from trde703_openfoodfacts_etl_spark import build_session
     from trde703_openfoodfacts_etl_spark.schema import TRANSCRIPT_SCHEMA
     from trde703_openfoodfacts_etl_spark.sources.genfeed import generate_segments_spark
@@ -69,18 +67,7 @@ def main() -> None:
     per_batch = max(1, (n_files + args.segments - 1) // args.segments)
     batch_events = args.events / args.segments
 
-    def signature(lake) -> list[int]:
-        r = (
-            lake.read()
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.countDistinct("conv_id").alias("convs"),
-                F.sum(F.length("text")).alias("chars"),
-                F.sum("turn_idx").alias("turns"),
-            )
-            .first()
-        )
-        return [r["n"], r["convs"], int(r["chars"] or 0), int(r["turns"] or 0)]
+    from siglib import engine_signature as signature
 
     def drain(lake, walls):
         while True:

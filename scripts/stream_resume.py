@@ -91,23 +91,13 @@ def worker(args) -> None:
     )
     wall = time.time() - t0
 
-    from pyspark.sql import functions as F
+    from siglib import engine_signature
 
-    r = (
-        lake.read()
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.countDistinct("conv_id").alias("convs"),
-            F.sum(F.length("text")).alias("chars"),
-            F.sum("turn_idx").alias("turns"),
-        )
-        .first()
-    )
     print(
         SIG_PREFIX
         + json.dumps(
             {
-                "signature": [r["n"], r["convs"], int(r["chars"] or 0), int(r["turns"] or 0)],
+                "signature": engine_signature(lake),
                 "batches": len(metrics),
                 "skipped_replays": sum(1 for m in metrics if m.get("skipped_replay")),
                 "events_applied": sum(m.get("events_in", 0) for m in metrics),

@@ -206,3 +206,68 @@ def test_auto_rebucket_in_ingest_loop(spark, tmp_path, wal_dir):
                     auto_compact_after=1, auto_rebucket_target_bytes=20_000)
     assert lake.snapshot()["num_buckets"] > 2  # policy fired mid-ingest
     assert_states_equal(lake_state_pdf(lake), duckdb_replay_oracle(f"{wal_dir}/*.parquet"))
+
+
+def test_maybe_rebucket_skew_guards(spark, tmp_path):
+    """The growth policy must not thrash on key skew: a hot conversation
+    hashes to ONE bucket at any P, so no growth can split it.
+
+    (a) hot-key-only table: a single occupied bucket means more buckets
+    cannot spread anything — the policy must never fire, at any target
+    (this is the grow-to-cap-storm degenerate case).
+    (b) hot key + uniform tail: the MEDIAN occupied-bucket size drives the
+    trigger, so the hot bucket's bytes alone (which would push the old
+    mean-based trigger over target) do not force a futile rewrite."""
+    lake = LakeTable.create(spark, str(tmp_path / "hot"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    apply_batch(lake, make_events(
+        spark, [("I", i, "hot", i, "user", "x" * 5000, None, i) for i in range(1, 40)]
+    ), 0)
+    occupied = [b for b in lake.snapshot()["buckets"].values() if b["files"]]
+    assert len(occupied) == 1
+    assert lake.maybe_rebucket(target_bucket_bytes=1) is None
+    assert lake.snapshot()["num_buckets"] == 4
+
+    lake2 = LakeTable.create(spark, str(tmp_path / "mix"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    rows = [("I", i, "hot", i, "user", "y" * 20000, None, i) for i in range(1, 30)]
+    rows += [("I", 1000 + i, f"c{i}", 0, "user", "z", None, 1000 + i) for i in range(1, 40)]
+    apply_batch(lake2, make_events(spark, rows), 0)
+    sizes = sorted(
+        sum(fe["bytes"] for fe in b["files"])
+        for b in lake2.snapshot()["buckets"].values()
+        if b["files"]
+    )
+    assert len(sizes) >= 3  # uniform tail occupies several buckets
+    median, mean = sizes[len(sizes) // 2], sum(sizes) / len(sizes)
+    target = int(mean) - 1
+    assert median < target < sizes[-1]  # mean-trigger would fire; median says no
+    assert lake2.maybe_rebucket(target_bucket_bytes=target) is None
+    # and with the target below the typical bucket, growth DOES happen
+    assert lake2.maybe_rebucket(target_bucket_bytes=max(1, median // 2)) is not None
+
+
+def test_drivers_thread_files_per_bucket_to_maintenance(spark, tmp_path, wal_dir, monkeypatch):
+    """run_incremental's configured files_per_bucket must reach the
+    auto-maintenance calls (maybe_compact / maybe_rebucket) — otherwise a
+    rewrite silently collapses the operator's file-size policy back to one
+    file per bucket."""
+    from trde703_openfoodfacts_etl_spark.streaming.pipeline import run_incremental
+
+    seen = {}
+    orig_rb, orig_c = LakeTable.maybe_rebucket, LakeTable.maybe_compact
+
+    def spy_rb(self, **kw):
+        seen["rebucket"] = kw
+        return orig_rb(self, **kw)
+
+    def spy_c(self, **kw):
+        seen["compact"] = kw
+        return orig_c(self, **kw)
+
+    monkeypatch.setattr(LakeTable, "maybe_rebucket", spy_rb)
+    monkeypatch.setattr(LakeTable, "maybe_compact", spy_c)
+    lake = LakeTable.create(spark, str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    run_incremental(lake, wal_dir, segments_per_batch=2, mode="mor",
+                    files_per_bucket=3, auto_compact_after=1,
+                    auto_rebucket_target_bytes=1 << 40, max_batches=1)
+    assert seen["rebucket"]["files_per_bucket"] == 3
+    assert seen["compact"]["files_per_bucket"] == 3

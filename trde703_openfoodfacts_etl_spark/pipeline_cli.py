@@ -84,12 +84,15 @@ def main() -> None:
     if args.rebucket_to is not None:
         import time as _time
 
-        t0 = _time.time()
-        snap = lake.rebucket(args.rebucket_to)
-        rb = snap["metrics"].get("rebucket")
-        if rb is None:
-            print(f"[rebucket] already at {snap['num_buckets']} buckets; no-op")
+        # compare against the head BEFORE calling: a resumed run's head may
+        # itself be a prior rebucket commit whose metrics entry would make a
+        # no-op look like a fresh rewrite
+        if int(lake.snapshot()["num_buckets"]) == int(args.rebucket_to):
+            print(f"[rebucket] already at {args.rebucket_to} buckets; no-op")
         else:
+            t0 = _time.time()
+            snap = lake.rebucket(args.rebucket_to)
+            rb = snap["metrics"]["rebucket"]
             print(f"[rebucket] {rb['from_buckets']} -> {rb['to_buckets']} buckets "
                   f"({rb['rows']} rows rewritten in {_time.time() - t0:.1f}s)")
 

@@ -33,7 +33,7 @@ import os
 
 class LocalManifestIO:
     """The local-filesystem implementation (and the interface definition —
-    duck-typed; implement these seven methods for another backend)."""
+    duck-typed; implement these methods for another backend)."""
 
     def makedirs(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
@@ -90,6 +90,15 @@ class LocalManifestIO:
         """Last-modified unix time (object store: LastModified metadata).
         Used by vacuum's orphan-commit-temp sweep."""
         return os.path.getmtime(path)
+
+    def is_commit_temp(self, name: str) -> bool:
+        """True if ``name`` (a bare name from ``list_names``) is this
+        backend's commit-temp litter — the ``write_json_if_absent`` temp a
+        writer that died pre-link leaves behind. The naming convention is
+        private to the backend, so vacuum's orphan sweep asks the seam
+        instead of hardcoding it; a backend whose conditional-PUT leaves no
+        litter returns False unconditionally."""
+        return ".json.tmp." in name
 
     def remove_tree(self, path: str) -> None:
         """Recursive delete (used only for epoch dirs that ended up empty —

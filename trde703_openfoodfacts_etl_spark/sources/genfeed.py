@@ -288,5 +288,15 @@ def generate_segments_spark(
         )
     )
     v1.write.mode("overwrite").partitionBy("segment").parquet(out_dir)
+    # The v1 job just committed a _SUCCESS marker, but the feed is only
+    # complete once the v2 append lands: a crash between the two jobs must
+    # not leave a marker that regeneration gates (`if _SUCCESS exists, skip
+    # gen`) accept as a full WAL — they would ingest a truncated, v2-less
+    # feed and fail late on the missing column. The append job re-creates
+    # the marker on ITS commit, restoring exactly-at-completion semantics.
+    import contextlib
+
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(os.path.join(out_dir, "_SUCCESS"))
     v2.write.mode("append").partitionBy("segment").parquet(out_dir)
     return out_dir

@@ -717,15 +717,34 @@ class LakeTable:
         written = self.write_bucket_files(
             resolved, snap["snapshot_id"] + 1, snap["schema_id"], files_per_bucket
         )
-        stats = (
-            resolved.groupBy(META_BUCKET)
-            .agg(
-                F.sum(F.when(~F.coalesce(F.col(META_DELETED), F.lit(False)), 1).otherwise(0)).alias("live"),
-                F.sum(F.when(F.coalesce(F.col(META_DELETED), F.lit(False)), 1).otherwise(0)).alias("dead"),
-                F.max(META_LSN).alias("hwm"),
+        # Manifest stats come from a skinny re-read of the files just
+        # written (3 columns, no shuffle-heavy MOR resolve) — re-running the
+        # `resolved` plan here would repeat the full-table read + LWW
+        # aggregate the write job already executed, doubling rebucket cost.
+        # The files carry no _bucket column (it was the partition dir), so
+        # recompute it from conv_id — byte-identical to what was written.
+        if written:
+            paths = [
+                os.path.join(self.root, fe["path"])
+                for files in written.values()
+                for fe in files
+            ]
+            skinny = (
+                self.spark.read.parquet(*paths)
+                .select("conv_id", META_DELETED, META_LSN)
+                .withColumn(META_BUCKET, bucket_expr(int(new_num_buckets)))
             )
-            .collect()
-        )
+            stats = (
+                skinny.groupBy(META_BUCKET)
+                .agg(
+                    F.sum(F.when(~F.coalesce(F.col(META_DELETED), F.lit(False)), 1).otherwise(0)).alias("live"),
+                    F.sum(F.when(F.coalesce(F.col(META_DELETED), F.lit(False)), 1).otherwise(0)).alias("dead"),
+                    F.max(META_LSN).alias("hwm"),
+                )
+                .collect()
+            )
+        else:
+            stats = []
         table_hwm = max(
             (int(b.get("hwm_lsn") or 0) for b in snap["buckets"].values()), default=0
         )
@@ -762,21 +781,32 @@ class LakeTable:
         files_per_bucket: int = 1,
     ) -> dict | None:
         """Rebucket policy (the :meth:`maybe_compact` analog for layout):
-        when the mean bytes per occupied bucket exceeds
+        when the MEDIAN bytes per occupied bucket exceeds
         ``target_bucket_bytes``, grow the bucket count by ``growth_factor``
         (geometric — each rewrite buys factor× headroom, so total rewrite
         work over the table's lifetime is O(size · log_factor(growth)))
         capped at ``max_buckets``. Pure manifest arithmetic — no scan; in
         production this runs on the maintenance cadence next to
-        ``maybe_compact``/``vacuum``. Returns the new snapshot or None."""
+        ``maybe_compact``/``vacuum``. Returns the new snapshot or None.
+
+        Skew-safe by construction: the median ignores a hot key's bucket
+        (a single conversation hashes to ONE bucket at any P, so no amount
+        of growth can split it — only the typical bucket's load should
+        drive a rewrite), and growth is skipped entirely when fewer than
+        half the current buckets are occupied (per-key data already sits
+        alone in its bucket; more buckets cannot spread it and the rewrite
+        would be futile — prevents a repeated grow-to-cap storm on a
+        degenerate hot-key-only table)."""
         snap = self.snapshot()
         occupied = [b for b in snap["buckets"].values() if b["files"]]
         if not occupied:
             return None
-        total = sum(fe["bytes"] for b in occupied for fe in b["files"])
-        if total / len(occupied) <= target_bucket_bytes:
-            return None
         cur = int(snap["num_buckets"])
+        if len(occupied) * 2 < cur:
+            return None
+        sizes = sorted(sum(fe["bytes"] for fe in b["files"]) for b in occupied)
+        if sizes[len(sizes) // 2] <= target_bucket_bytes:
+            return None
         if cur >= max_buckets:
             return None
         return self.rebucket(
@@ -840,8 +870,12 @@ class LakeTable:
         mdir = os.path.join(self.root, MANIFEST_DIR)
         names = self.io.list_names(mdir)
         now = time.time()
+        # the temp-name convention is the IO backend's private business —
+        # ask the seam (older duck-typed backends without the method simply
+        # have no litter to sweep)
+        is_temp = getattr(self.io, "is_commit_temp", lambda _n: False)
         for f in names:
-            if ".json.tmp." in f:
+            if is_temp(f):
                 p = os.path.join(mdir, f)
                 try:
                     if now - self.io.mtime(p) > orphan_tmp_age_sec:

@@ -218,9 +218,11 @@ def run_incremental(
             )
         )
         if auto_compact_after is not None and mode == "mor":
-            lake.maybe_compact(max_delta_files=auto_compact_after)
+            lake.maybe_compact(max_delta_files=auto_compact_after,
+                               files_per_bucket=files_per_bucket)
         if auto_rebucket_target_bytes is not None:
-            lake.maybe_rebucket(target_bucket_bytes=auto_rebucket_target_bytes)
+            lake.maybe_rebucket(target_bucket_bytes=auto_rebucket_target_bytes,
+                                files_per_bucket=files_per_bucket)
         if auto_vacuum_every is not None and len(out) % auto_vacuum_every == 0:
             lake.vacuum(keep_snapshots=vacuum_keep_snapshots)
     return out
@@ -334,9 +336,11 @@ def run_stream(
             )
         )
         if auto_compact_after is not None and mode == "mor":
-            lake.maybe_compact(max_delta_files=auto_compact_after)
+            lake.maybe_compact(max_delta_files=auto_compact_after,
+                               files_per_bucket=files_per_bucket)
         if auto_rebucket_target_bytes is not None:
-            lake.maybe_rebucket(target_bucket_bytes=auto_rebucket_target_bytes)
+            lake.maybe_rebucket(target_bucket_bytes=auto_rebucket_target_bytes,
+                                files_per_bucket=files_per_bucket)
         if auto_vacuum_every is not None and len(metrics) % auto_vacuum_every == 0:
             lake.vacuum(keep_snapshots=vacuum_keep_snapshots)
 
