@@ -269,3 +269,92 @@ def test_mor_correct_at_depth_24(spark, tmp_path):
     )
     want = oracle[oracle["conv_id"] == key].reset_index(drop=True)
     assert_states_equal(got, want)
+
+
+def _split_fixture(spark, tmp_path):
+    """Compacted base + two delta generations exercising every contested-key
+    shape: plain update, tombstone, delta-only key, and late delta events
+    OLDER than the base row (the base must win — an anti-join-only resolve
+    would get this wrong)."""
+    lake = LakeTable.create(
+        spark, str(tmp_path / "lakesplit"), TRANSCRIPT_SCHEMA, num_buckets=4
+    )
+    apply_batch(lake, make_events(spark, [
+        ("I", 1, "c1", 0, "user", "a", None, 100),
+        ("I", 2, "c2", 0, "user", "b", None, 110),
+        ("I", 3, "c3", 0, "user", "c", None, 120),
+        ("I", 4, "c5", 0, "user", "e", None, 130),
+    ]), 0, mode="mor")
+    lake.compact()  # key-unique base, no deltas
+    apply_batch(lake, make_events(spark, [
+        ("U", 5, "c1", 0, "user", "a2", None, 200),
+        ("D", 6, "c2", 0, None, None, None, 300),
+        ("I", 7, "c4", 0, "user", "d", None, 310),
+    ]), 1, mode="mor")
+    apply_batch(lake, make_events(spark, [
+        ("U", 8, "c1", 0, "user", "late-loser", None, 50),
+        ("U", 9, "c3", 0, "user", "stale", None, 60),
+    ]), 2, mode="mor")
+    expect = {("c1", 0): "a2", ("c3", 0): "c", ("c4", 0): "d", ("c5", 0): "e"}
+    return lake, expect
+
+
+def _state(df):
+    return {(r["conv_id"], r["turn_idx"]): r["text"] for r in df.collect()}
+
+
+def test_mor_split_resolve_contested_keys_only(spark, tmp_path):
+    """The contested-key split path: clean base rows bypass the LWW
+    aggregate via a broadcast anti-join on the delta keyset; late deltas
+    older than the base lose; tombstones in deltas hide base rows."""
+    lake, expect = _split_fixture(spark, tmp_path)
+    snap = lake.snapshot()
+    # appended file entries are delta-tagged; base entries are not
+    for binfo in snap["buckets"].values():
+        if binfo.get("delta"):
+            tags = [bool(fe.get("delta")) for fe in binfo["files"]]
+            assert any(tags) and not all(tags)
+    plan = lake.read()._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "LeftSemi" in plan
+    assert _state(lake.read()) == expect
+    # single-bucket pruned lookup goes through the same split
+    from trde703_openfoodfacts_etl_spark.sources.lake import bucket_expr
+    b = (
+        spark.createDataFrame([("c1",)], "c string")
+        .select(bucket_expr(4, col="c").alias("b")).first()["b"]
+    )
+    got = _state(lake.read(buckets=[b]))
+    assert got[("c1", 0)] == "a2"
+    # compaction clears per-file delta tags and converges to the same state
+    lake.compact()
+    snap2 = lake.snapshot()
+    assert not any(
+        fe.get("delta") for bi in snap2["buckets"].values() for fe in bi["files"]
+    )
+    assert _state(lake.read()) == expect
+
+
+def test_mor_split_fallback_paths_agree(spark, tmp_path, monkeypatch):
+    """Guarded fallbacks produce the identical state: delta rows over the
+    broadcast bound, and a pre-tag (legacy) manifest with no per-file delta
+    markers."""
+    import copy
+
+    from trde703_openfoodfacts_etl_spark.sources import lake as lake_mod
+
+    lake, expect = _split_fixture(spark, tmp_path)
+    # over-threshold: full-aggregate resolve, no broadcast split
+    monkeypatch.setattr(lake_mod, "MOR_SPLIT_MAX_DELTA_ROWS", 0)
+    plan = lake.read()._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in plan
+    assert _state(lake.read()) == expect
+    monkeypatch.undo()
+    # legacy manifest: strip the per-file tags — indistinguishable files
+    # must take the full-aggregate path and still resolve exactly
+    snap = copy.deepcopy(lake.snapshot())
+    for binfo in snap["buckets"].values():
+        for fe in binfo["files"]:
+            fe.pop("delta", None)
+    df = lake.read(snap=snap)
+    assert "LeftAnti" not in df._jdf.queryExecution().executedPlan().toString()
+    assert _state(df) == expect

@@ -1025,28 +1025,23 @@ FROM orders GROUP BY o_orderpriority
 
 
 def q35_percentiles(spark, sf_dir):
-    """Exact interpolated percentiles (quantile_cont semantics). One
-    percentile(…, array(…)) aggregate — a single per-group value buffer and
-    one sort for all four quantiles, not four independent buffers. At 100×
-    scale the exact form's per-group memory is the bound; approx_percentile
-    (t-digest, mergeable, bounded memory) is the stated scale path — exact
-    kept here because the oracle gate demands exact equality."""
+    """Exact interpolated percentiles (quantile_cont semantics) — computed
+    by the distributed-selection operator (operators/quantiles.py): range-
+    partitioned sort + rank extraction, bounded per-task memory. This
+    replaces the builtin ``percentile()`` aggregate, whose O(group size)
+    value buffer was round 4's one accepted scale-killer; the exact form now
+    scales like a sort. q46 still gates the mergeable sketch
+    (``approx_percentile``) for single-pass cases."""
+    from ..operators.quantiles import exact_quantiles
+
     li = load(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.expr(
-                "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))"
-            ).alias("_p")
-        )
-        .select(
-            "l_returnflag",
-            F.round(F.element_at("_p", 1), 4).alias("p25"),
-            F.round(F.element_at("_p", 2), 4).alias("p50"),
-            F.round(F.element_at("_p", 3), 4).alias("p75"),
-            F.round(F.element_at("_p", 4), 4).alias("p95"),
-        )
-    )
+    probs = [0.25, 0.5, 0.75, 0.95]
+    eq = exact_quantiles(li, ["l_returnflag"], "l_extendedprice", probs)
+    agg = [
+        F.round(F.max(F.when(F.col("_qi") == i, F.col("_q"))), 4).alias(name)
+        for i, name in enumerate(["p25", "p50", "p75", "p95"])
+    ]
+    return eq.groupBy("l_returnflag").agg(*agg)
 
 
 SQL_Q35 = """

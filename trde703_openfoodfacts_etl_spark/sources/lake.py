@@ -55,6 +55,14 @@ from ..schema import (
 MANIFEST_DIR = "manifests"
 DATA_DIR = "data"
 
+#: MOR read-path split guard: the contested-key resolve broadcasts the delta
+#: keyset, so it only runs when the manifest's delta row count (known before
+#: any job) stays under this bound; beyond it the read falls back to the
+#: full-aggregate resolve. ~4M (conv_id, turn_idx) keys ≈ low hundreds of MB
+#: broadcast — safe on any sane executor; a table carrying more unmerged
+#: delta rows than this should be compacting anyway (auto_compact_after).
+MOR_SPLIT_MAX_DELTA_ROWS = 4_000_000
+
 
 class SnapshotConflict(Exception):
     """Another writer committed the same snapshot id first (CAS lost)."""
@@ -236,27 +244,81 @@ class LakeTable:
 
         if delta_buckets:
             clean_g: dict[int, list[str]] = {}
+            base_g: dict[int, list[str]] = {}
             delta_g: dict[int, list[str]] = {}
+            delta_rows = 0
+            split_ok = True
             for b, binfo in snap["buckets"].items():
                 if buckets is not None and int(b) not in buckets:
                     continue
-                tgt = delta_g if int(b) in delta_buckets else clean_g
+                if int(b) not in delta_buckets:
+                    for fe in binfo["files"]:
+                        clean_g.setdefault(fe["schema_id"], []).append(
+                            os.path.join(self.root, fe["path"])
+                        )
+                    continue
+                tagged = 0
                 for fe in binfo["files"]:
-                    tgt.setdefault(fe["schema_id"], []).append(
-                        os.path.join(self.root, fe["path"])
-                    )
-            ddf = _assemble(delta_g)
+                    if fe.get("delta"):
+                        tagged += 1
+                        if fe.get("rows") is None:
+                            split_ok = False
+                        else:
+                            delta_rows += int(fe["rows"])
+                        delta_g.setdefault(fe["schema_id"], []).append(
+                            os.path.join(self.root, fe["path"])
+                        )
+                    else:
+                        base_g.setdefault(fe["schema_id"], []).append(
+                            os.path.join(self.root, fe["path"])
+                        )
+                if tagged == 0:
+                    # pre-tag manifest (no per-file delta markers): base and
+                    # delta files are indistinguishable — full-agg fallback
+                    split_ok = False
+            if delta_rows > MOR_SPLIT_MAX_DELTA_ROWS:
+                split_ok = False
+
             nonkey = [f.name for f in phys_unified.fields if f.name not in KEY_COLS]
             order = F.struct(
                 F.coalesce(F.col("ts"), F.lit("1970-01-01 00:00:00").cast("timestamp")),
                 F.col(META_LSN),
             )
             carried = F.struct(*[F.col(c) for c in nonkey])
-            ddf = (
-                ddf.groupBy(*KEY_COLS)
-                .agg(F.max_by(carried, order).alias("_w"))
-                .select(*KEY_COLS, *[F.col(f"_w.{c}").alias(c) for c in nonkey])
-            )
+
+            def _lww(df_):
+                return (
+                    df_.groupBy(*KEY_COLS)
+                    .agg(F.max_by(carried, order).alias("_w"))
+                    .select(*KEY_COLS, *[F.col(f"_w.{c}").alias(c) for c in nonkey])
+                )
+
+            if split_ok:
+                # contested-key split: the compacted base within a delta
+                # bucket is key-unique (every replace commit — COW merge,
+                # compaction, rebucket — writes LWW-resolved state), so only
+                # keys that appear in a delta file can change. Broadcast the
+                # contested keyset (bounded by MOR_SPLIT_MAX_DELTA_ROWS,
+                # known from manifest stats before any job runs): clean base
+                # rows stream straight from the scan — no shuffle, no
+                # aggregate — and only (delta rows + contested base rows)
+                # pay the LWW aggregate. This turns the MOR scan
+                # amplification from a step function on "any delta exists"
+                # into a cost ∝ delta size.
+                ddf = _assemble(delta_g)
+                bdf = _assemble(base_g)
+                if bdf is None:
+                    ddf = _lww(ddf)
+                else:
+                    contested = F.broadcast(ddf.select(*KEY_COLS).distinct())
+                    clean_b = bdf.join(contested, KEY_COLS, "left_anti")
+                    hot_b = bdf.join(contested, KEY_COLS, "left_semi")
+                    ddf = clean_b.unionByName(_lww(ddf.unionByName(hot_b)))
+            else:
+                merged_g: dict[int, list[str]] = {}
+                for sid_, paths in list(base_g.items()) + list(delta_g.items()):
+                    merged_g.setdefault(sid_, []).extend(paths)
+                ddf = _lww(_assemble(merged_g))
             cdf = _assemble(clean_g)
             df = ddf if cdf is None else cdf.unionByName(ddf)
         else:
@@ -361,8 +423,11 @@ class LakeTable:
         for b, files in replaced_buckets.items():
             if append:
                 prev = bks.get(str(b), {"files": [], "hwm_lsn": 0, "rows": None})
+                # per-file delta tag: the read path uses it to tell the
+                # key-unique compacted base apart from appended delta files,
+                # so only contested keys pay the read-time LWW aggregate
                 bks[str(b)] = {
-                    "files": list(prev["files"]) + files,
+                    "files": list(prev["files"]) + [dict(fe, delta=True) for fe in files],
                     "hwm_lsn": max(int(prev.get("hwm_lsn") or 0), int(bucket_hwm.get(b, 0))),
                     "rows": None,  # unknown until compaction (LWW-at-read)
                     "delta": True,
