@@ -4,7 +4,9 @@
 ``auto_compact_after`` bounds per-bucket delta file depth, but no number
 said what a given depth COSTS a reader. This measures it: on a 10M-event
 lake (bench scale), build final states whose buckets carry delta depths
-0 / 6 / 12 / 24 files over an otherwise-identical base, then time
+0 / 1 / 2 / 6 / 12 / 24 batches of deltas over an otherwise-identical base
+(at this 3.9M-row base every depth takes the full-aggregate fallback —
+the split's min-base guard is calibrated from the A/B below), then time
 
 - **latest-state scan**: full ``lake.read()`` materialized to the noop sink
   (what any analytics query over current state pays first);
@@ -17,6 +19,13 @@ measured state holds the same 10M events and differs only in pending delta
 depth. Medians of --trials runs. The recommended ``auto_compact_after`` —
 the deepest depth whose scan stays under 1.5x the depth-0 scan — is
 computed from the measured curve and written into the JSON.
+
+A second scenario calibrates the contested-key split's guards
+(MOR_SPLIT_MIN_BASE_ROWS et al., sources/lake.py): a small fresh append
+(100k events) on a LARGE compacted base (40M events → ~15.5M rows), then
+interleaved A/B trials of the same read with the split engaged vs forced
+to the full-aggregate fallback — identical state, the only variable is
+the resolve strategy. Interleaving cancels box drift.
 
 Run:  python scripts/mor_readamp.py [--events 10000000] [--depths 0 6 12 24]
 Writes BENCH/mor_readamp.json.
@@ -41,9 +50,12 @@ def main() -> None:
     ap.add_argument("--events", type=int, default=10_000_000)
     ap.add_argument("--segments", type=int, default=24)
     ap.add_argument("--buckets", type=int, default=32)
-    ap.add_argument("--depths", type=int, nargs="+", default=[0, 6, 12, 24])
+    ap.add_argument("--depths", type=int, nargs="+", default=[0, 1, 2, 6, 12, 24])
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--split-ab-events", type=int, default=40_000_000,
+                    help="base size for the split-vs-fallback A/B (0 skips)")
+    ap.add_argument("--split-ab-delta", type=int, default=100_000)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -148,10 +160,76 @@ def main() -> None:
         if nonzero
         else 0
     )
+    split_ab = None
+    if args.split_ab_events:
+        from trde703_openfoodfacts_etl_spark.sources import lake as lake_mod
+
+        ab_dir = os.path.join(scratch, "ab")
+        wal_b = os.path.join(ab_dir, "wal_base")
+        wal_d = os.path.join(ab_dir, "wal_delta")
+        n_convs = args.split_ab_events // 100
+        if not os.path.exists(os.path.join(wal_b, "_SUCCESS")):
+            generate_segments_spark(spark, wal_b, n_events=args.split_ab_events,
+                                    n_convs=n_convs, n_segments=8)
+        if not os.path.exists(os.path.join(wal_d, "_SUCCESS")):
+            generate_segments_spark(spark, wal_d, n_events=args.split_ab_delta,
+                                    n_convs=n_convs, n_segments=1)
+        ab_lake_dir = os.path.join(ab_dir, "lake")
+        shutil.rmtree(ab_lake_dir, ignore_errors=True)
+        ab_lake = LakeTable.create(spark, ab_lake_dir, TRANSCRIPT_SCHEMA,
+                                   num_buckets=64)
+        run_incremental(ab_lake, wal_b, segments_per_batch=100, mode="mor")
+        ab_lake.compact()
+        run_incremental(ab_lake, wal_d, stream_id="append",
+                        segments_per_batch=100, mode="mor")
+        snap = ab_lake.snapshot()
+        drows = sum(int(fe.get("rows") or 0) for bi in snap["buckets"].values()
+                    for fe in bi["files"] if fe.get("delta"))
+        brows = sum(int(fe.get("rows") or 0) for bi in snap["buckets"].values()
+                    for fe in bi["files"] if not fe.get("delta"))
+
+        def _scan():
+            t0 = time.time()
+            ab_lake.read().write.format("noop").mode("overwrite").save()
+            return time.time() - t0
+
+        defaults = (lake_mod.MOR_SPLIT_MAX_DELTA_ROWS,
+                    lake_mod.MOR_SPLIT_MAX_DELTA_FRACTION,
+                    lake_mod.MOR_SPLIT_MIN_BASE_ROWS)
+        ab = {"split": [], "fallback": []}
+        _scan()  # warmup (default guards)
+        lake_mod.MOR_SPLIT_MAX_DELTA_ROWS = 0
+        _scan()  # warmup fallback
+        for _ in range(5):
+            (lake_mod.MOR_SPLIT_MAX_DELTA_ROWS,
+             lake_mod.MOR_SPLIT_MAX_DELTA_FRACTION,
+             lake_mod.MOR_SPLIT_MIN_BASE_ROWS) = defaults
+            ab["split"].append(round(_scan(), 2))
+            lake_mod.MOR_SPLIT_MAX_DELTA_ROWS = 0
+            ab["fallback"].append(round(_scan(), 2))
+        (lake_mod.MOR_SPLIT_MAX_DELTA_ROWS,
+         lake_mod.MOR_SPLIT_MAX_DELTA_FRACTION,
+         lake_mod.MOR_SPLIT_MIN_BASE_ROWS) = defaults
+        split_ab = {
+            "base_events": args.split_ab_events,
+            "delta_events": args.split_ab_delta,
+            "base_rows": brows,
+            "delta_rows": drows,
+            "contested_frac": round(drows / max(brows, 1), 4),
+            "scan_sec": ab,
+            "scan_sec_median": {k: statistics.median(v) for k, v in ab.items()},
+            "note": "interleaved trials on the identical state; 'fallback' "
+                    "forces the full-aggregate resolve by zeroing the "
+                    "broadcast bound",
+        }
+        print(json.dumps(split_ab), flush=True)
+        shutil.rmtree(ab_dir, ignore_errors=True)
+
     out = {
         "events": args.events,
         "buckets": args.buckets,
         "trials": args.trials,
+        "split_ab": split_ab,
         "curve": curve,
         "scan_amp_vs_depth0": {
             str(r["depth_requested"]): round(

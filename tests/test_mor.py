@@ -303,10 +303,17 @@ def _state(df):
     return {(r["conv_id"], r["turn_idx"]): r["text"] for r in df.collect()}
 
 
-def test_mor_split_resolve_contested_keys_only(spark, tmp_path):
+def test_mor_split_resolve_contested_keys_only(spark, tmp_path, monkeypatch):
     """The contested-key split path: clean base rows bypass the LWW
     aggregate via a broadcast anti-join on the delta keyset; late deltas
-    older than the base lose; tombstones in deltas hide base rows."""
+    older than the base lose; tombstones in deltas hide base rows.
+
+    The fixture is tiny (5 delta rows on a 4-row base), so the fraction and
+    min-base guards are relaxed to force the split path under test."""
+    from trde703_openfoodfacts_etl_spark.sources import lake as lake_mod
+
+    monkeypatch.setattr(lake_mod, "MOR_SPLIT_MAX_DELTA_FRACTION", 10.0)
+    monkeypatch.setattr(lake_mod, "MOR_SPLIT_MIN_BASE_ROWS", 0)
     lake, expect = _split_fixture(spark, tmp_path)
     snap = lake.snapshot()
     # appended file entries are delta-tagged; base entries are not
@@ -336,19 +343,33 @@ def test_mor_split_resolve_contested_keys_only(spark, tmp_path):
 
 def test_mor_split_fallback_paths_agree(spark, tmp_path, monkeypatch):
     """Guarded fallbacks produce the identical state: delta rows over the
-    broadcast bound, and a pre-tag (legacy) manifest with no per-file delta
+    broadcast bound, a widely-contested base (delta over the fraction
+    guard), and a pre-tag (legacy) manifest with no per-file delta
     markers."""
     import copy
 
     from trde703_openfoodfacts_etl_spark.sources import lake as lake_mod
 
     lake, expect = _split_fixture(spark, tmp_path)
-    # over-threshold: full-aggregate resolve, no broadcast split
+    # over the absolute broadcast bound: full-aggregate resolve, no split
+    monkeypatch.setattr(lake_mod, "MOR_SPLIT_MAX_DELTA_FRACTION", 10.0)
+    monkeypatch.setattr(lake_mod, "MOR_SPLIT_MIN_BASE_ROWS", 0)
     monkeypatch.setattr(lake_mod, "MOR_SPLIT_MAX_DELTA_ROWS", 0)
     plan = lake.read()._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" not in plan
     assert _state(lake.read()) == expect
+    # under the min-base guard only (rows bound satisfied)
+    monkeypatch.setattr(lake_mod, "MOR_SPLIT_MAX_DELTA_ROWS", 1_000_000)
+    monkeypatch.setattr(lake_mod, "MOR_SPLIT_MIN_BASE_ROWS", 8_000_000)
+    plan = lake.read()._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in plan
+    assert _state(lake.read()) == expect
     monkeypatch.undo()
+    # default guards: the fixture's delta (5 rows on a 4-row base) is over
+    # the contested-fraction guard and under the min-base floor — fallback
+    plan = lake.read()._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in plan
+    assert _state(lake.read()) == expect
     # legacy manifest: strip the per-file tags — indistinguishable files
     # must take the full-aggregate path and still resolve exactly
     snap = copy.deepcopy(lake.snapshot())

@@ -55,13 +55,23 @@ from ..schema import (
 MANIFEST_DIR = "manifests"
 DATA_DIR = "data"
 
-#: MOR read-path split guard: the contested-key resolve broadcasts the delta
-#: keyset, so it only runs when the manifest's delta row count (known before
-#: any job) stays under this bound; beyond it the read falls back to the
-#: full-aggregate resolve. ~4M (conv_id, turn_idx) keys ≈ low hundreds of MB
-#: broadcast — safe on any sane executor; a table carrying more unmerged
-#: delta rows than this should be compacting anyway (auto_compact_after).
+#: MOR read-path split guards (all evaluated from manifest row stats before
+#: any job runs; failing any falls back to the full-aggregate resolve). The
+#: contested-key resolve broadcasts the delta keyset as xxhash64 longs (8
+#: B/key — probing the base on a derived long is ~2× cheaper than on the
+#: (string, int) key pair, measured) and scans the base twice; its saving is
+#: the avoided shuffle+aggregate of the clean base rows, so it pays off when
+#: the delta is SMALL — absolutely (the broadcast long-hash relation must
+#: build fast) and relative to the base — and the base is big enough that
+#: the avoided shuffle beats the split's fixed overheads. Interleaved A/B on
+#: identical states (BENCH/mor_readamp.json split_ab): 15.5M-row base at
+#: 0.6% contested → split 3.8 s vs full-agg 5.8 s median (1.5×); a 3.9M-row
+#: base measured even (1.87 s vs 1.99 s) in calibration — hence the min-base
+#: floor. The win grows with base size — and further on a real cluster,
+#: where the avoided exchange crosses a network.
 MOR_SPLIT_MAX_DELTA_ROWS = 4_000_000
+MOR_SPLIT_MAX_DELTA_FRACTION = 0.1
+MOR_SPLIT_MIN_BASE_ROWS = 2_000_000
 
 
 class SnapshotConflict(Exception):
@@ -247,6 +257,7 @@ class LakeTable:
             base_g: dict[int, list[str]] = {}
             delta_g: dict[int, list[str]] = {}
             delta_rows = 0
+            base_rows = 0
             split_ok = True
             for b, binfo in snap["buckets"].items():
                 if buckets is not None and int(b) not in buckets:
@@ -259,16 +270,16 @@ class LakeTable:
                     continue
                 tagged = 0
                 for fe in binfo["files"]:
+                    if fe.get("rows") is None:
+                        split_ok = False
                     if fe.get("delta"):
                         tagged += 1
-                        if fe.get("rows") is None:
-                            split_ok = False
-                        else:
-                            delta_rows += int(fe["rows"])
+                        delta_rows += int(fe.get("rows") or 0)
                         delta_g.setdefault(fe["schema_id"], []).append(
                             os.path.join(self.root, fe["path"])
                         )
                     else:
+                        base_rows += int(fe.get("rows") or 0)
                         base_g.setdefault(fe["schema_id"], []).append(
                             os.path.join(self.root, fe["path"])
                         )
@@ -277,6 +288,14 @@ class LakeTable:
                     # delta files are indistinguishable — full-agg fallback
                     split_ok = False
             if delta_rows > MOR_SPLIT_MAX_DELTA_ROWS:
+                split_ok = False
+            if delta_rows > MOR_SPLIT_MAX_DELTA_FRACTION * base_rows:
+                # widely-contested base: the broadcast build + second base
+                # scan would cost more than the full aggregate (measured)
+                split_ok = False
+            if base_rows < MOR_SPLIT_MIN_BASE_ROWS:
+                # small base: the avoided shuffle is cheaper than the
+                # split's fixed overheads (measured A/B) — full agg wins
                 split_ok = False
 
             nonkey = [f.name for f in phys_unified.fields if f.name not in KEY_COLS]
@@ -298,21 +317,28 @@ class LakeTable:
                 # bucket is key-unique (every replace commit — COW merge,
                 # compaction, rebucket — writes LWW-resolved state), so only
                 # keys that appear in a delta file can change. Broadcast the
-                # contested keyset (bounded by MOR_SPLIT_MAX_DELTA_ROWS,
-                # known from manifest stats before any job runs): clean base
-                # rows stream straight from the scan — no shuffle, no
-                # aggregate — and only (delta rows + contested base rows)
-                # pay the LWW aggregate. This turns the MOR scan
-                # amplification from a step function on "any delta exists"
-                # into a cost ∝ delta size.
+                # contested keyset as xxhash64 longs (guarded by the
+                # MOR_SPLIT_* bounds, known from manifest stats before any
+                # job runs): clean base rows stream straight from the scan —
+                # no shuffle, no aggregate — and only (delta rows + contested
+                # base rows) pay the LWW aggregate. A hash collision merely
+                # routes an extra base row through the aggregate, where it
+                # forms its own (conv_id, turn_idx) group and is emitted
+                # unchanged — never a correctness effect. This keeps the MOR
+                # scan cost ∝ delta size instead of a step function on "any
+                # delta exists".
                 ddf = _assemble(delta_g)
                 bdf = _assemble(base_g)
                 if bdf is None:
                     ddf = _lww(ddf)
                 else:
-                    contested = F.broadcast(ddf.select(*KEY_COLS).distinct())
-                    clean_b = bdf.join(contested, KEY_COLS, "left_anti")
-                    hot_b = bdf.join(contested, KEY_COLS, "left_semi")
+                    hk = F.xxhash64(*KEY_COLS)
+                    contested = F.broadcast(
+                        ddf.select(hk.alias("_mor_hk")).distinct()
+                    )
+                    b_h = bdf.withColumn("_mor_hk", hk)
+                    clean_b = b_h.join(contested, "_mor_hk", "left_anti").drop("_mor_hk")
+                    hot_b = b_h.join(contested, "_mor_hk", "left_semi").drop("_mor_hk")
                     ddf = clean_b.unionByName(_lww(ddf.unionByName(hot_b)))
             else:
                 merged_g: dict[int, list[str]] = {}
