@@ -295,3 +295,91 @@ def test_interval_join_string_bounds_non_canonical_format(spark):
     )
     out = interval_join(left, right, "ts", "start", "fin", bucket_seconds=86400)
     assert [(r.event_id, r.iv_id) for r in out.collect()] == [(1, 10)]
+
+
+# ---------------------------------------------------------------------------
+# q39 count-form equivalence (r6 optimization): the bucketed-rank-count plan
+# must equal the pair-enumerating interval_join aggregate on adversarial
+# inputs — exact window-boundary pairs, sub-bucket-boundary timestamps,
+# signup self-pairs, a type with no matches, and a null timestamp.
+# ---------------------------------------------------------------------------
+
+
+def _q39_reference(ev):
+    """The original pair-enumerating q39 aggregate (ground truth)."""
+    windows = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("w_id"),
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+        )
+    )
+    j = interval_join(
+        ev.select("event_id", "ts", "event_type"), windows,
+        "ts", "w_start", "w_end", bucket_seconds=1800,
+    )
+    return (
+        j.filter(F.col("event_id") != F.col("w_id"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("event_id").alias("n_events"),
+            F.countDistinct("w_id").alias("n_windows"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def test_q39_count_form_matches_pair_enumeration(spark, tmp_path):
+    from trde703_openfoodfacts_etl_spark.plans.analytics import q39_interval_join
+
+    W = 1800  # window seconds
+    SUB = W / 16  # q39's sub-bucket width, to hit sub-bucket boundaries
+    rows = [
+        # signup at t=0: window [0, 1800]
+        (0, _ts(0), "signup"),
+        (1, _ts(900), "click"),          # mid-window
+        (2, _ts(1800), "click"),         # EXACT upper boundary (inclusive)
+        (3, _ts(1801), "click"),         # just outside
+        (4, _ts(0), "view"),             # exact lower boundary (inclusive)
+        # second signup inside the first window: self-pair exclusion +
+        # signup-as-event counting
+        (5, _ts(1700), "signup"),
+        (6, _ts(int(SUB) * 3), "click"),   # exact sub-bucket boundary
+        (7, _ts(-5), "purchase"),        # before every window: no match
+        (8, None, "click"),              # null ts: matches nothing
+        (9, _ts(3500), "view"),          # inside signup-5's window only
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    d = str(tmp_path / "evdir")
+    ev.write.parquet(os.path.join(d, "events.parquet"))
+
+    got = {r["event_type"]: (r["n_pairs"], r["n_events"], r["n_windows"])
+           for r in q39_interval_join(spark, d).collect()}
+    want = {r["event_type"]: (r["n_pairs"], r["n_events"], r["n_windows"])
+            for r in _q39_reference(spark.read.parquet(os.path.join(d, "events.parquet"))).collect()}
+    assert got == want and len(want) >= 3
+
+
+def test_q39_count_form_matches_on_random_events(spark, tmp_path):
+    """Randomized cross-check: 2k events over a 6h span (dense windows,
+    many cross-bucket ranges), seeded for determinism."""
+    import random
+
+    rng = random.Random(42)
+    types = ["signup", "click", "view", "purchase"]
+    rows = [
+        (i, _ts(rng.randint(0, 6 * 3600)), types[rng.randrange(len(types))])
+        for i in range(2000)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    d = str(tmp_path / "evdir")
+    ev.write.parquet(os.path.join(d, "events.parquet"))
+
+    from trde703_openfoodfacts_etl_spark.plans.analytics import q39_interval_join
+
+    got = sorted(map(tuple, q39_interval_join(spark, d).collect()))
+    want = sorted(map(tuple, _q39_reference(
+        spark.read.parquet(os.path.join(d, "events.parquet"))).collect()))
+    assert got == want

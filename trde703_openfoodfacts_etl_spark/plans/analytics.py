@@ -1561,36 +1561,174 @@ FROM j GROUP BY event_type ORDER BY event_type
 """
 
 
+def _bucketed_range_count(probes, points, keys, sub_us, span_us):
+    """Attach to ``probes`` a column ``_rc`` = number of ``points`` rows
+    (column ``t``, long µs, non-null; optional equi ``keys``) with
+    t ∈ [probe._lo, probe._hi], where _hi − _lo == ``span_us`` and
+    ``sub_us`` divides ``span_us``.
+
+    Bucketed rank counting: points are grouped into fixed sub-buckets of
+    ``sub_us``; the probe's range covers two PARTIAL boundary buckets
+    (bl = _lo div sub, bh = _hi div sub — scanned via per-bucket arrays,
+    ~span/sub-th of the co-window points each) and bh−bl−1 FULL interior
+    buckets, counted in O(1) as a difference of a dense per-bucket prefix
+    count P: interior = P[bh−1] − P[bl]. The dense table spans
+    [min_bucket, max_bucket + span/sub] of the points (per key group it is
+    cross-joined over the global span so an early-ending key group still
+    resolves to its total, not a null); lookups below the span miss → 0,
+    which is exact there. All four lookups are broadcast hash joins; the
+    boundary splits are exact because within bucket bl every point is
+    ≤ _hi (bucket end ≤ _lo + span) and within bh every point is ≥ _lo.
+    A null probe _lo/_hi yields _rc = 0 (all lookups miss), matching a
+    null-timestamp row matching no interval."""
+    k = span_us // sub_us
+    pts = points.withColumn("_pb", F.expr(f"t div {sub_us}"))
+    arrs = pts.groupBy(*keys, "_pb").agg(F.collect_list("t").alias("_pts"))
+    bcnt = pts.groupBy(*keys, "_pb").agg(F.count(F.lit(1)).alias("_bn"))
+    gb = pts.agg(F.min("_pb").alias("_gmin"), F.max("_pb").alias("_gmax"))
+    keyspace = pts.select(*keys).distinct() if keys else None
+    dense = (
+        keyspace.crossJoin(gb) if keyspace is not None else gb
+    ).select(
+        *keys, F.explode(F.sequence("_gmin", F.col("_gmax") + F.lit(k))).alias("_pb")
+    )
+    wspec = (
+        W.partitionBy(*keys) if keys else W.partitionBy(F.lit(1))
+    ).orderBy("_pb").rowsBetween(W.unboundedPreceding, 0)
+    P = (
+        dense.join(bcnt, [*keys, "_pb"], "left")
+        .withColumn("_bn", F.coalesce("_bn", F.lit(0)))
+        .withColumn("_P", F.sum("_bn").over(wspec))
+        .select(*keys, "_pb", "_P")
+    )
+    pr = probes.withColumn("_bl", F.expr(f"_lo div {sub_us}")).withColumn(
+        "_bh", F.expr(f"_hi div {sub_us}")
+    )
+    j = (
+        pr.join(
+            F.broadcast(
+                arrs.select(*keys, F.col("_pb").alias("_bl"), F.col("_pts").alias("_al"))
+            ),
+            [*keys, "_bl"],
+            "left",
+        )
+        .join(
+            F.broadcast(
+                arrs.select(*keys, F.col("_pb").alias("_bh"), F.col("_pts").alias("_ah"))
+            ),
+            [*keys, "_bh"],
+            "left",
+        )
+        .join(
+            F.broadcast(
+                P.select(*keys, F.col("_pb").alias("_bl"), F.col("_P").alias("_Plo"))
+            ),
+            [*keys, "_bl"],
+            "left",
+        )
+        .join(
+            F.broadcast(
+                P.select(*keys, (F.col("_pb") + 1).alias("_bh"), F.col("_P").alias("_Phi"))
+            ),
+            [*keys, "_bh"],
+            "left",
+        )
+    )
+    lo, hi = F.col("_lo"), F.col("_hi")
+    scan = lambda arr, pred: F.coalesce(F.size(F.filter(arr, pred)), F.lit(0))  # noqa: E731
+    rc = (
+        scan(F.col("_al"), lambda x: x >= lo)
+        + F.coalesce("_Phi", F.lit(0)) - F.coalesce("_Plo", F.lit(0))
+        + scan(F.col("_ah"), lambda x: x <= hi)
+    )
+    return j.withColumn("_rc", rc)
+
+
 def q39_interval_join(spark, sf_dir):
     """Interval (range) join with NO equi key: every event falling inside
-    the 30-minute window after any signup event, via fixed-width time
-    bucketing (explode each interval into covered buckets → equi-join on
-    bucket → exact range filter; operators/asof.py). Vanilla Spark would
-    pick BroadcastNestedLoopJoin here — O(|L|·|R|); the bucketed form
-    shuffles on the bucket key and compares only co-bucketed rows."""
-    from ..operators.asof import interval_join
+    the 30-minute window after any signup event. The general pair-
+    enumerating operator (operators/asof.py interval_join) stays the
+    engine's interval-join primitive; this AGGREGATE over the pairs is
+    computed without materializing them — at sf1.0 the true pair count is
+    1.4e8 and enumerating it (plus an Expand for the two countDistincts)
+    was 100 s of the 265 s suite (guide §1.2: fix the distributed
+    algorithm first).
+
+    Count form (exact, oracle SQL_Q39 unchanged): with W = 30 min,
+      m(e)   = #signups w with ts_w in [ts_e - W, ts_e], minus the self
+               pair when e is itself a signup (event_id is unique per row
+               for every generator SF, so the self pair is e's own row),
+      c_T(w) = #events of type T with ts_e in [ts_w, ts_w + W], minus the
+               self pair when T = 'signup'.
+    Per type: n_pairs = sum m(e), n_events = #{e : m(e) >= 1}, n_windows =
+    #{w : c_T(w) >= 1}; a type appears in the output iff n_pairs >= 1 iff
+    n_windows >= 1, so the two branches inner-join losslessly.
+
+    Each range count is a bucketed rank lookup (_bucketed_range_count):
+    fixed sub-buckets of W/16, per-bucket point arrays for the two partial
+    boundary buckets (~10 elements each) and a dense per-bucket prefix-
+    count table for the full interior buckets — so a probe costs two O(1)
+    broadcast-map lookups plus two ~10-element scans, instead of scanning
+    the ~280 co-window points (or producing ~280 join rows) per probe.
+    Integer-µs arithmetic throughout (unix_micros), so boundary pairs
+    compare exactly as the timestamp-domain join condition. No pair row
+    ever exists: the widest stream is |events| rows (events side) and
+    |signups| x |types| rows (windows side)."""
+    W_US = 1_800_000_000  # 30 min in µs
+    SUB = W_US // 16  # sub-bucket width; 16 sub-buckets per window length
 
     ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type")
-    windows = (
-        load(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "signup")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    e = ev.select("event_type", us.alias("t"))
+    is_signup = F.col("event_type") == "signup"
+    sig = e.filter(is_signup & F.col("t").isNotNull())
+
+    # ---- events side: m(e) = signups in [t-W, t] ------------------------
+    probes = e.withColumn("_lo", F.col("t") - F.lit(W_US)).withColumn(
+        "_hi", F.col("t")
+    )
+    counted = _bucketed_range_count(probes, sig.select("t"), [], SUB, W_US)
+    m = F.col("_rc") - F.when(is_signup & F.col("t").isNotNull(), 1).otherwise(0)
+    ev_side = (
+        counted.select("event_type", m.alias("_m"))
+        .filter(F.col("_m") >= 1)
+        .groupBy("event_type")
+        .agg(F.sum("_m").alias("n_pairs"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+    # ---- windows side: c_T(w) = type-T events in [t, t+W] ---------------
+    # event_type rides as a join key via a null sentinel so a null type
+    # (absent from the generator, but cheap to keep exact) still matches
+    # its own per-bucket arrays the way the pair join's groupBy would.
+    tkey = F.coalesce(F.col("event_type"), F.lit("\x00"))
+    pts = e.filter(F.col("t").isNotNull()).select(tkey.alias("_tk"), "t")
+    types = e.select(F.col("event_type").alias("_ty")).distinct()
+    wprobes = (
+        sig.select("t")
+        .crossJoin(F.broadcast(types))
         .select(
-            F.col("event_id").alias("w_id"),
-            F.col("ts").alias("w_start"),
-            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+            "_ty",
+            F.coalesce(F.col("_ty"), F.lit("\x00")).alias("_tk"),
+            "t",
+            F.col("t").alias("_lo"),
+            (F.col("t") + F.lit(W_US)).alias("_hi"),
         )
     )
-    j = interval_join(ev, windows, "ts", "w_start", "w_end", bucket_seconds=1800)
-    return (
-        j.filter(F.col("event_id") != F.col("w_id"))
+    wcounted = _bucketed_range_count(wprobes, pts, ["_tk"], SUB, W_US)
+    c = F.col("_rc") - F.when(F.col("_ty").eqNullSafe("signup"), 1).otherwise(0)
+    win_side = (
+        wcounted.select(F.col("_ty").alias("event_type"), c.alias("_c"))
+        .filter(F.col("_c") >= 1)
         .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.countDistinct("event_id").alias("n_events"),
-            F.countDistinct("w_id").alias("n_windows"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_windows"))
+    )
+
+    return (
+        ev_side.join(win_side, "event_type")
+        .select("event_type", "n_pairs", "n_events", "n_windows")
         .orderBy("event_type")
     )
+
 
 
 SQL_Q39 = """
