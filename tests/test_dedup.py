@@ -172,3 +172,43 @@ def test_pointer_doubling_long_chain_logarithmic(spark):
         F.max("cluster_id").alias("mx"),
     ).first()
     assert (agg.n, agg.k, agg.mx) == (n, 1, 0)
+
+
+def test_ngram_jaccard_bitmap_filter_lossless_on_repetitive_corpus(spark):
+    """r6: the 256-bit bitmap overlap bound added to the prefix path must
+    keep every true pair even when per-doc bit collisions are maximal —
+    repetitive docs built from a tiny shared vocabulary (all shingles land
+    on few bit positions, so |A| − popcount(bmA) is large) compared against
+    the exact brute-force Jaccard over the same shingle sets."""
+    import itertools
+
+    from trde703_openfoodfacts_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        word_shingles,
+    )
+
+    # 12 docs over a 6-word vocabulary: dense overlap structure, many
+    # near-dup pairs at t=0.5, heavy shingle re-use across docs
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    docs = []
+    for i in range(12):
+        words = [vocab[(i + j) % 6] for j in range(8)] + [vocab[i % 6]] * (i % 3)
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    sh = {
+        r["doc_id"]: set(r["s"])
+        for r in df.select("doc_id", word_shingles(F.col("text"), 3).alias("s")).collect()
+    }
+    want = {}
+    for x, y in itertools.combinations(sorted(sh), 2):
+        j = len(sh[x] & sh[y]) / len(sh[x] | sh[y])
+        if round(j, 6) >= 0.5:
+            want[(x, y)] = round(j, 6)
+    assert set(got) == set(want) and want
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9

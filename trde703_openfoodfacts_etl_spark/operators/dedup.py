@@ -141,6 +141,61 @@ def ngram_jaccard_pairs(df, text_col: str = "text", id_col: str = "doc_id",
             F.col("size_a") - F.col("_rka"), F.col("size_b") - F.col("_rkb")
         )
     ) >= overlap_needed
+    if prefix_filter:
+        # 256-bit per-doc shingle bitmap → a SECOND lossless overlap upper
+        # bound, evaluated per collision row inside the candidate join
+        # (bit_count on 4 longs — codegen, ~ns/pair). Pigeonhole: common
+        # shingles occupy ≥ o − (|A| − popcount(bmA)) distinct bit
+        # positions (within-A same-bit multiplicity bounds the common
+        # set's), and every such position survives in bmA & bmB, so
+        #   o ≤ popcount(bmA & bmB) + min(|A|−popcount(bmA), |B|−popcount(bmB)).
+        # Exact for ANY hash (collisions only weaken pruning, never drop a
+        # true pair). At low thresholds (t=0.5 ⇒ prefixes are half the
+        # doc) the positional filter alone passes millions of single-rare-
+        # shingle coincidences — ~19M candidate pairs at a 50k-doc corpus,
+        # 28 s of array_intersect verification; the bitmap bound kills
+        # chance collisions (expected AND-popcount ≈ |A|·|B|/256 bits ≪
+        # o_needed) so only true near-dups reach the exact verify.
+        _words = 4  # 256 bits
+        _bm_aggs = [
+            F.bit_or(
+                F.when(
+                    F.expr("pmod(_gh, 256) div 64") == w,
+                    F.expr("shiftleft(1L, cast(pmod(_gh, 64) as int))"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias(f"_bm{w}")
+            for w in range(_words)
+        ]
+        bm = ex.groupBy("_id").agg(*_bm_aggs)
+        bm = bm.withColumn(
+            "_pc", sum(F.bit_count(F.col(f"_bm{w}")) for w in range(_words))
+        )
+        a = a.join(
+            bm.select(
+                F.col("_id").alias("id_a"), F.col("_pc").alias("_pca"),
+                *[F.col(f"_bm{w}").alias(f"_a{w}") for w in range(_words)],
+            ),
+            "id_a",
+        )
+        b = b.join(
+            bm.select(
+                F.col("_id").alias("id_b"), F.col("_pc").alias("_pcb"),
+                *[F.col(f"_bm{w}").alias(f"_b{w}") for w in range(_words)],
+            ),
+            "id_b",
+        )
+        pc_and = sum(
+            F.bit_count(F.col(f"_a{w}").bitwiseAND(F.col(f"_b{w}")))
+            for w in range(_words)
+        )
+        bitmap_ok = (
+            pc_and
+            + F.least(
+                F.col("size_a") - F.col("_pca"), F.col("size_b") - F.col("_pcb")
+            )
+        ) >= overlap_needed
+    else:
+        bitmap_ok = F.lit(True)
     cand = (
         a.join(b, "_gh")
         .filter(
@@ -149,6 +204,7 @@ def ngram_jaccard_pairs(df, text_col: str = "text", id_col: str = "doc_id",
             & (F.least("size_a", "size_b")
                >= threshold * F.greatest("size_a", "size_b"))
             & (positional_ok if prefix_filter else F.lit(True))
+            & bitmap_ok
         )
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
