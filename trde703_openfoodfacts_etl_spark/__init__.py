@@ -22,6 +22,31 @@ import os
 __version__ = "0.1.0"
 
 
+def spread(df, min_fill: float = 0.5):
+    """Round-robin repartition a pathologically under-partitioned input up
+    to the session's default parallelism — and a NO-OP otherwise.
+
+    The driver's test tables are single-row-group parquet files, so every
+    scan is one task no matter what ``maxPartitionBytes`` says (a parquet
+    row group is indivisible): all per-row work downstream — regex/HOF
+    expression packs, pandas UDFs, per-row GEMM probes — runs on one core
+    (guide §2.5 input skew: "one huge unsplittable file"). Repartitioning
+    costs one shuffle of the (small) under-partitioned input and buys
+    cluster-wide parallelism for the expensive per-row stage.
+
+    The guard keeps this scale-safe: an input that already has at least
+    ``min_fill``·defaultParallelism partitions (e.g. a real multi-file
+    100 TB corpus) is returned unchanged — this must never become a
+    forced full-corpus shuffle."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — inspection only; fall back to no-op
+        return df
+    return df if cur >= max(1, int(target * min_fill)) else df.repartition(target)
+
+
 def build_session(
     app_name: str = "transcript-cdc-engine",
     cores: int | None = None,

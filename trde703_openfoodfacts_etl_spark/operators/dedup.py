@@ -24,11 +24,13 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from .. import spread as _spread
 from ..functions.text import fingerprint_expr, simhash64
 
 
 def exact_duplicates(df, text_col: str = "text", id_col: str = "doc_id"):
     """Groups of byte-identical (modulo case/whitespace) documents."""
+    df = _spread(df)
     return (
         df.groupBy(fingerprint_expr(F.col(text_col)).alias("fingerprint"))
         .agg(
@@ -86,6 +88,7 @@ def ngram_jaccard_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     ``prefix_filter=False`` falls back to the plain inverted-index join
     (useful for tiny corpora / debugging).
     """
+    df = _spread(df)  # single-row-group inputs: shingle on every core
     sh = df.select(
         F.col(id_col).alias("_id"),
         word_shingles(F.col(text_col), n).alias("_sh"),
@@ -284,7 +287,8 @@ def minhash_signatures(df, text_col: str = "text", id_col: str = "doc_id",
         b = (b * 1103515245 + 12345) % P
         params.append((a or 1, b))
     ex = (
-        df.select(F.col(id_col).alias("_id"), word_shingles(F.col(text_col), shingle_n).alias("_sh"))
+        _spread(df)
+        .select(F.col(id_col).alias("_id"), word_shingles(F.col(text_col), shingle_n).alias("_sh"))
         .select("_id", F.explode("_sh").alias("_g"))
         .select("_id", F.pmod(F.xxhash64("_g"), F.lit(P)).alias("_h"))
     )
@@ -357,34 +361,50 @@ def minhash_lsh_pairs(df, text_col: str = "text", id_col: str = "doc_id",
 
 
 def simhash_near_dups(df, text_col: str = "text", id_col: str = "doc_id",
-                      chunks: int = 4):
+                      chunks: int = 4, max_hamming: int | None = None):
     """SimHash near-dup candidates: equal 16-bit chunk of the 64-bit
     signature (pigeonhole: Hamming ≤ chunks-1 guarantees ≥1 equal chunk).
-    Returns candidate pairs with exact Hamming distance."""
-    sig = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sig"))
+    Returns candidate pairs with exact Hamming distance.
+
+    ``max_hamming`` pushes the caller's Hamming threshold INSIDE the
+    operator, before the pair dedup: the distance is a pure function of
+    the two signatures, so filter-then-dedup ≡ dedup-then-filter — but the
+    filtered form dedups only the near-dup pairs instead of shuffling
+    every chunk collision (~19M pairs at a 50k-doc corpus, 22 s of the old
+    q25). The signature frame is locally checkpointed so the pandas UDF
+    runs one pass, not once per join side, and chunk buckets are packed
+    into a long ((chunk_idx << 16) | value — bijective for 16-bit chunks)
+    so the join keys are primitive."""
+    sig = _spread(df).select(
+        F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sig")
+    )
+    # one UDF pass: sig feeds both join sides (same executor-local-persist
+    # tradeoff as ngram_jaccard_pairs' postings)
+    sig = sig.localCheckpoint(eager=False)
     width = 64 // chunks
     # bitwiseAND, not %: Spark's % follows the dividend's sign, so a negative
     # signature's chunk 0 (shift by 0 keeps the sign) would get a negative
     # remainder and miss collisions with positive-signature docs.
     chunk_cols = [
-        F.concat(
-            F.lit(f"{c}:"),
-            F.shiftrightunsigned(F.col("_sig"), c * width)
+        (
+            F.lit(c << width)
+            + F.shiftrightunsigned(F.col("_sig"), c * width)
             .bitwiseAND(F.lit((1 << width) - 1))
-            .cast("string"),
-        ).alias(f"ck_{c}")
+        ).cast("long").alias(f"ck_{c}")
         for c in range(chunks)
     ]
     ex = sig.select("_id", "_sig", F.explode(F.array(*chunk_cols)).alias("_bucket"))
     a = ex.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"), "_bucket")
     b = ex.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"), "_bucket")
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        a.join(b, "_bucket")
+    pairs = (
+        a.join(F.broadcast(b), "_bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", hamming.alias("hamming"))
-        .dropDuplicates(["id_a", "id_b"])
     )
+    if max_hamming is not None:
+        pairs = pairs.filter(F.col("hamming") <= max_hamming)
+    return pairs.dropDuplicates(["id_a", "id_b"])
 
 
 def _free_local_checkpoint(df) -> None:

@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .. import spread as _spread
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -70,6 +72,7 @@ def media_from_documents(docs, payload_chars: int = 2048):
     on doc_id. The decode path downstream treats payload as opaque bytes —
     the mapInPandas plumbing is identical to the real-codec case.
     """
+    docs = _spread(docs)  # single-row-group inputs: strip/encode on every core
     ascii_text = F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), r"[^\x20-\x7e]", "")
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),

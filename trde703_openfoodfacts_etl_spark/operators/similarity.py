@@ -28,6 +28,8 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .. import spread as _spread
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -243,6 +245,7 @@ def corpus_lsh_topk(corpus, probes, plane_ids: list[int], bands: int = 3,
     Same inverted-index shape as :func:`lsh_topk` (bucket equi-join, exact
     cosine re-rank) but with every step a DataFrame op, no UDF — the
     oracle-checkable twin of the pandas-UDF production path."""
+    corpus = _spread(corpus)  # single-row-group inputs: dot on every core
     per_band = len(plane_ids) // bands
     pm = _plane_map(corpus.sparkSession, plane_ids, per_band)
     planes = pm.join(
@@ -284,8 +287,10 @@ def corpus_ivf_topk(corpus, probes, centroid_ids: list[int], nprobe: int = 3,
     fixed ids with sampled/k-means centroids and writes the corpus bucketed
     by cell (shuffle-free probes); see :func:`ivf_topk` for the pandas-UDF
     assignment variant."""
+    centsrc = corpus
+    corpus = _spread(corpus)  # single-row-group inputs: dot on every core
     cents = F.broadcast(
-        corpus.filter(F.col(id_col).isin([int(c) for c in sorted(centroid_ids)]))
+        centsrc.filter(F.col(id_col).isin([int(c) for c in sorted(centroid_ids)]))
         .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("_c"))
     )
     # corpus cell = argmax cosine(v, centroid); ties → smallest cent_id

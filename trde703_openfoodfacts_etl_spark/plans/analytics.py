@@ -22,8 +22,22 @@ TABLES = [
 ]
 
 
-def load(spark, sf_dir: str, name: str):
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def load(spark, sf_dir: str, name: str, spread: bool = False):
+    """Read a test table. ``spread=True`` routes through the package-level
+    :func:`~trde703_openfoodfacts_etl_spark.spread` guard — used by the
+    queries whose per-row work (regex packs, HOFs, pandas UDFs, vector
+    math) dominates the scan: the driver's tables are single-row-group
+    parquet files, so without it that work runs on ONE core (r6
+    measurement: q56 3.3 s → 0.5 s at sf1.0 from this alone). Queries
+    whose cost is post-shuffle (windows, joins keyed downstream) skip it —
+    the exchange already spreads them, and the extra shuffle would be pure
+    overhead."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if spread:
+        from .. import spread as _spread
+
+        df = _spread(df)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -359,7 +373,7 @@ WHERE r.rn = 1
 
 def q14_json_extract(spark, sf_dir):
     """Semi-structured extraction (props JSON column) + modular bucketing."""
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events", spread=True)
     k = F.get_json_object("props", "$.k").cast("int")
     return (
         e.select((k % 10).alias("k_bucket"), "value")
@@ -435,7 +449,7 @@ def q17_text_metrics(spark, sf_dir):
     JVM-side expressions (functions/text.py)."""
     from ..functions.text import fingerprint_expr, token_count_expr
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     n = F.length("text")
     punct = n - F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z0-9_\s]", ""))
     return d.select(
@@ -461,7 +475,7 @@ def q18_exact_dedup(spark, sf_dir):
     scalable: one shuffle on the 128-bit hash, not the text)."""
     from ..functions.text import fingerprint_expr
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     return (
         d.groupBy(fingerprint_expr(F.col("text")).alias("fingerprint"))
         .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
@@ -503,7 +517,7 @@ def q20_ann_bruteforce(spark, sf_dir):
     """Brute-force cosine top-5 for 5 probe vectors: broadcast probes ×
     corpus, dot product via zip_with/aggregate (JVM higher-order fns, no
     UDF), rank via window. Integer output only (float32-vs-float64 safe)."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", spread=True)
     probes = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p")
     )
@@ -583,7 +597,7 @@ def q22_quality_score(spark, sf_dir):
     aggregated per language."""
     from ..functions.text import quality_score_expr
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     return (
         d.select("lang", quality_score_expr(F.col("text")).alias("score"))
         .groupBy("lang")
@@ -616,7 +630,7 @@ def q23_normalize(spark, sf_dir):
     strip_accents (equal on latin-script inputs)."""
     from ..functions.normalize import normalize_key
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     return d.select(
         "doc_id",
         F.md5(normalize_key(F.col("text"))).alias("norm_hash"),
@@ -645,7 +659,7 @@ def q24_minhash_lsh(spark, sf_dir):
         word_shingles,
     )
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     sig = minhash_signatures(d, num_hashes=64, shingle_n=3)
     cand = minhash_lsh_candidates(sig, num_hashes=64, bands=32)
     sh = d.select(F.col("doc_id"), word_shingles(F.col("text"), 3).alias("_sh"))
@@ -687,7 +701,9 @@ def q25_simhash(spark, sf_dir):
     from ..operators.dedup import simhash_near_dups
 
     d = load(spark, sf_dir, "documents")
-    return simhash_near_dups(d).filter(F.col("hamming") <= 12).select(
+    # threshold pushed into the operator (pre-dedup; same pair set — the
+    # Hamming distance is a pure function of the signatures)
+    return simhash_near_dups(d, max_hamming=12).select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     )
 
@@ -732,7 +748,7 @@ def q26_lang_id(spark, sf_dir):
     deterministic and mirrored 1:1 in the SQL oracle."""
     from ..functions.text import lang_id
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     return (
         d.select(lang_id(F.col("text")).alias("detected"))
         .groupBy("detected")
@@ -775,7 +791,7 @@ def q27_fingerprint(spark, sf_dir):
     aren't SQL-expressible). Output: collision structure."""
     from ..functions.text import mingram_fingerprint_expr
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     return (
         d.select(mingram_fingerprint_expr(F.col("text")).alias("fp"))
         .groupBy("fp")
@@ -945,7 +961,7 @@ FROM b GROUP BY kind ORDER BY kind
 def q31_word_explode(spark, sf_dir):
     """explode(split(...)) multi-valued → rows (reference F6,
     etl/silver_to_gold.py:89,113,138): top-20 words over documents."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     words = d.select(
         F.explode(F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")).alias("word")
     )
@@ -1124,7 +1140,7 @@ def q55_quality_rules(spark, sf_dir):
     shuffle); top-word fraction is the one genuinely distributional metric
     and uses the standard explode → (doc, word) count → per-doc max —
     partial-aggregated, skew-safe. No UDFs anywhere."""
-    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = load(spark, sf_dir, "documents", spread=True).filter(F.col("text").isNotNull())
     w = F.split(F.trim(F.col("text")), r"\s+")
     base = d.select("doc_id", w.alias("_w"))
     n = F.size("_w")
@@ -1211,7 +1227,7 @@ def q56_pii_redaction(spark, sf_dir):
     in the Java∩RE2 common dialect."""
     EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
     PHONE = "\\b555-[0-9]{4}\\b"
-    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = load(spark, sf_dir, "documents", spread=True).filter(F.col("text").isNotNull())
     aug = d.select(
         "doc_id",
         F.when(
@@ -1274,7 +1290,7 @@ def q57_sequence_packing(spark, sf_dir):
     from ..functions.text import token_count_expr
 
     TARGET = 512
-    d = load(spark, sf_dir, "documents").filter(
+    d = load(spark, sf_dir, "documents", spread=True).filter(
         F.col("text").isNotNull() & (F.trim("text") != "")
     )
     toks = d.select(
@@ -1320,7 +1336,7 @@ def q58_source_mixing(spark, sf_dir):
     kept tokens for the mixture audit."""
     from ..functions.text import token_count_expr
 
-    d = load(spark, sf_dir, "documents").filter(
+    d = load(spark, sf_dir, "documents", spread=True).filter(
         F.col("text").isNotNull() & (F.trim("text") != "")
     )
     src_num = F.regexp_extract("source", "([0-9]+)$", 1).cast("int")
@@ -1493,7 +1509,7 @@ def q37_cosine_neardup(spark, sf_dir):
     membership."""
     from ..operators.similarity import cosine_neardup_pairs_matmul
 
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", spread=True)
     return (
         cosine_neardup_pairs_matmul(e, threshold=0.39, block_col="label")
         .select("id_a", "id_b")
@@ -1677,7 +1693,7 @@ def q39_interval_join(spark, sf_dir):
     W_US = 1_800_000_000  # 30 min in µs
     SUB = W_US // 16  # sub-bucket width; 16 sub-buckets per window length
 
-    ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    ev = load(spark, sf_dir, "events", spread=True).select("event_id", "ts", "event_type")
     us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
     e = ev.select("event_type", us.alias("t"))
     is_signup = F.col("event_type") == "signup"
@@ -1762,7 +1778,7 @@ def q41_corpus_prep(spark, sf_dir):
     map-side."""
     from ..functions.text import fingerprint_expr, quality_score_expr, token_count_expr
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     keepers = (
         d.groupBy(fingerprint_expr(F.col("text")).alias("_fp"))
         .agg(F.min("doc_id").alias("doc_id"))
@@ -1817,7 +1833,7 @@ def q42_train_val_split(spark, sf_dir):
     nibble '0' (≈1/16); per (split, lang) doc counts + token budget."""
     from ..functions.text import token_count_expr
 
-    d = load(spark, sf_dir, "documents").filter(
+    d = load(spark, sf_dir, "documents", spread=True).filter(
         F.col("text").isNotNull() & (F.trim("text") != "")
     )
     split = F.when(F.substring(F.md5("text"), 1, 1) == "0", "val").otherwise("train")
@@ -1849,7 +1865,7 @@ def q43_contamination(spark, sf_dir):
     the naive doc-level self-join the oracle runs)."""
     from ..functions.text import mingram_fingerprint_expr
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     per = (
         d.select(mingram_fingerprint_expr(F.col("text")).alias("_fp"), "source")
         .groupBy("_fp", "source")
