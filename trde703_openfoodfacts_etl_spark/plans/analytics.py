@@ -450,8 +450,14 @@ def q17_text_metrics(spark, sf_dir):
     from ..functions.text import fingerprint_expr, token_count_expr
 
     d = load(spark, sf_dir, "documents", spread=True)
+    from ..functions.text import _WORD_SPACE_CHARS
+
     n = F.length("text")
-    punct = n - F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z0-9_\s]", ""))
+    # translate char-map, not the regex engine: [^A-Za-z0-9_\s] is a fixed
+    # ASCII set, so counting survivors of a translate-delete is the exact
+    # same number with no per-char regex and no stripped-copy allocation
+    # (2.8 s → 0.4 s of this query at sf1.0; see punct_ratio_expr)
+    punct = F.length(F.translate(F.col("text"), _WORD_SPACE_CHARS, ""))
     return d.select(
         "doc_id",
         token_count_expr(F.col("text")).cast("long").alias("n_tokens"),
@@ -1871,6 +1877,11 @@ def q43_contamination(spark, sf_dir):
         .groupBy("_fp", "source")
         .agg(F.count(F.lit(1)).alias("_n"))
     )
+    # both self-join sides consume `per`; one side is broadcast, so there
+    # is no exchange to reuse and the whole fingerprint+aggregate subtree
+    # would execute twice (~2 s each at sf1.0) — materialize it once
+    # (executor-local, freed with the frame; the ngram-postings tradeoff)
+    per = per.localCheckpoint(eager=False)
     a = per.select("_fp", F.col("source").alias("source_a"), F.col("_n").alias("_na"))
     b = per.select("_fp", F.col("source").alias("source_b"), F.col("_n").alias("_nb"))
     return (
