@@ -396,12 +396,23 @@ def _apply_batch_once(
 
     # ---- action 3: full-payload merge + write, changed buckets only ----------
     # ONE payload shuffle end-to-end: raw batch events union current state,
-    # repartitioned by (_bucket, conv_id). HashPartitioning(_bucket, conv_id)
-    # satisfies the ClusteredDistribution of groupBy(_bucket, conv_id,
-    # turn_idx) (subset rule), so the LWW aggregate reuses that exchange,
-    # its output stays bucket-clustered, and the partitioned write needs no
-    # further shuffle. conv_id in the partitioning spreads a hot bucket
-    # across tasks while keeping each key in exactly one task.
+    # repartitioned by the bucket column. HashPartitioning(_bucket) satisfies
+    # the ClusteredDistribution of groupBy(_bucket, conv_id, turn_idx)
+    # (subset rule), so the LWW aggregate reuses that exchange, its output
+    # stays bucket-clustered, and the partitioned write needs no further
+    # shuffle. With files_per_bucket == 1 the partitioning is _bucket ALONE:
+    # each bucket lands in exactly one task, so the dynamic-partition writer
+    # emits exactly one file per bucket — partitioning by (_bucket, conv_id)
+    # here spread every bucket over every shuffle task and each task wrote
+    # its own file per bucket (~tasks × buckets tiny files per epoch; the
+    # next batch then re-read them all and the driver footer-stat'ed each —
+    # the guide §6 small-files trap, measured at 13 files/bucket/epoch and
+    # a3_write 6.5 s for a 200k-row table). A hot bucket is one task, the
+    # same unit compact()/rebucket() already use; within-bucket skew across
+    # keys is still absorbed by map-side partial aggregation, and bucket
+    # count evolution (maybe_rebucket) is the scale lever. Callers that ask
+    # for files_per_bucket > 1 keep the conv_id spread — they explicitly
+    # want multiple writer tasks per bucket.
     replaced: dict[int, list[dict]] = {}
     rows_written = 0
     if changed_buckets:
@@ -424,7 +435,13 @@ def _apply_batch_once(
         merged = (
             batch_side.unionByName(current_side)
             .withColumn(META_BUCKET, bucket_expr(num_buckets))
-            .repartition(F.col(META_BUCKET), F.col("conv_id"))
+            .repartition(
+                *(
+                    [F.col(META_BUCKET)]
+                    if files_per_bucket <= 1
+                    else [F.col(META_BUCKET), F.col("conv_id")]
+                )
+            )
             .groupBy(META_BUCKET, *KEY_COLS)
             .agg(
                 F.max_by(carried, _order_struct(F.col("ts"), F.col(META_LSN))).alias("_w")
