@@ -1583,78 +1583,71 @@ FROM j GROUP BY event_type ORDER BY event_type
 """
 
 
-def _bucketed_range_count(probes, points, keys, sub_us, span_us):
-    """Attach to ``probes`` a column ``_rc`` = number of ``points`` rows
-    (column ``t``, long µs, non-null; optional equi ``keys``) with
-    t ∈ [probe._lo, probe._hi], where _hi − _lo == ``span_us`` and
-    ``sub_us`` divides ``span_us``.
+def _range_count_lut(points, keys, sub_us, span_us):
+    """Build the per-(key, sub-bucket) lookup table for bucketed range
+    counting over ``points`` (column ``t``, long µs, non-null; optional
+    equi ``keys``): for every bucket b in the dense global span it carries
 
-    Bucketed rank counting: points are grouped into fixed sub-buckets of
-    ``sub_us``; the probe's range covers two PARTIAL boundary buckets
-    (bl = _lo div sub, bh = _hi div sub — scanned via per-bucket arrays,
-    ~span/sub-th of the co-window points each) and bh−bl−1 FULL interior
-    buckets, counted in O(1) as a difference of a dense per-bucket prefix
-    count P: interior = P[bh−1] − P[bl]. The dense table spans
-    [min_bucket, max_bucket + span/sub] of the points (per key group it is
-    cross-joined over the global span so an early-ending key group still
-    resolves to its total, not a null); lookups below the span miss → 0,
-    which is exact there. All four lookups are broadcast hash joins; the
-    boundary splits are exact because within bucket bl every point is
-    ≤ _hi (bucket end ≤ _lo + span) and within bh every point is ≥ _lo.
-    A null probe _lo/_hi yields _rc = 0 (all lookups miss), matching a
-    null-timestamp row matching no interval."""
+      _al  = point array of bucket b            (probe's low boundary bucket)
+      _ah  = point array of bucket b + k        (high boundary bucket)
+      _Plo = prefix point count through b
+      _Phi = prefix count through b + k − 1     (bh − 1)
+
+    where k = span/sub. Because every probe range is exactly ``span_us``
+    wide and ``sub_us`` divides ``span_us``, the high bucket is ALWAYS
+    bl + k — so all four lookups key on bl alone and ride ONE broadcast
+    hash join (the previous four-join form built four separate broadcast
+    relations and recomputed the bucket aggregates under each; r6
+    measurement: q39 8.7 s → see OPTIMIZATION_r06.md). The _ah/_Phi
+    columns come from lead(k)/lead(k−1) over the dense frame, exact
+    because the frame has every bucket of the span (consecutive ints).
+    The dense span is extended k buckets BELOW the first point too, so a
+    probe whose range starts before all points but overlaps them still
+    finds its row (prefix 0 there); probes outside the extended span miss
+    the join and resolve to _rc ≤ 0, which is exact-or-negative only when
+    the true count is 0 (callers filter on _rc ≥ 1)."""
     k = span_us // sub_us
     pts = points.withColumn("_pb", F.expr(f"t div {sub_us}"))
-    arrs = pts.groupBy(*keys, "_pb").agg(F.collect_list("t").alias("_pts"))
-    bcnt = pts.groupBy(*keys, "_pb").agg(F.count(F.lit(1)).alias("_bn"))
-    gb = pts.agg(F.min("_pb").alias("_gmin"), F.max("_pb").alias("_gmax"))
+    per_b = pts.groupBy(*keys, "_pb").agg(
+        F.collect_list("t").alias("_al"), F.count(F.lit(1)).alias("_bn")
+    )
+    gb = pts.agg(
+        (F.min("_pb") - F.lit(k)).alias("_gmin"),
+        (F.max("_pb") + F.lit(k)).alias("_gmax"),
+    )
     keyspace = pts.select(*keys).distinct() if keys else None
     dense = (
         keyspace.crossJoin(gb) if keyspace is not None else gb
-    ).select(
-        *keys, F.explode(F.sequence("_gmin", F.col("_gmax") + F.lit(k))).alias("_pb")
+    ).select(*keys, F.explode(F.sequence("_gmin", "_gmax")).alias("_pb"))
+    base = (W.partitionBy(*keys) if keys else W.partitionBy(F.lit(1))).orderBy("_pb")
+    wcum = base.rowsBetween(W.unboundedPreceding, 0)
+    return (
+        dense.join(per_b, [*keys, "_pb"], "left")
+        .withColumn("_P", F.sum(F.coalesce("_bn", F.lit(0))).over(wcum))
+        .select(
+            *keys,
+            "_pb",
+            "_al",
+            F.lead("_al", k).over(base).alias("_ah"),
+            F.col("_P").alias("_Plo"),
+            F.lead("_P", k - 1).over(base).alias("_Phi"),
+        )
     )
-    wspec = (
-        W.partitionBy(*keys) if keys else W.partitionBy(F.lit(1))
-    ).orderBy("_pb").rowsBetween(W.unboundedPreceding, 0)
-    P = (
-        dense.join(bcnt, [*keys, "_pb"], "left")
-        .withColumn("_bn", F.coalesce("_bn", F.lit(0)))
-        .withColumn("_P", F.sum("_bn").over(wspec))
-        .select(*keys, "_pb", "_P")
-    )
-    pr = probes.withColumn("_bl", F.expr(f"_lo div {sub_us}")).withColumn(
-        "_bh", F.expr(f"_hi div {sub_us}")
-    )
-    j = (
-        pr.join(
-            F.broadcast(
-                arrs.select(*keys, F.col("_pb").alias("_bl"), F.col("_pts").alias("_al"))
-            ),
-            [*keys, "_bl"],
-            "left",
-        )
-        .join(
-            F.broadcast(
-                arrs.select(*keys, F.col("_pb").alias("_bh"), F.col("_pts").alias("_ah"))
-            ),
-            [*keys, "_bh"],
-            "left",
-        )
-        .join(
-            F.broadcast(
-                P.select(*keys, F.col("_pb").alias("_bl"), F.col("_P").alias("_Plo"))
-            ),
-            [*keys, "_bl"],
-            "left",
-        )
-        .join(
-            F.broadcast(
-                P.select(*keys, (F.col("_pb") + 1).alias("_bh"), F.col("_P").alias("_Phi"))
-            ),
-            [*keys, "_bh"],
-            "left",
-        )
+
+
+def _attach_range_count(probes, lut, keys, sub_us):
+    """Attach ``_rc`` = number of points with t ∈ [probe._lo, probe._hi]
+    to ``probes`` via one broadcast join against a :func:`_range_count_lut`
+    table built with the same keys/sub/span. The probe's range covers two
+    PARTIAL boundary buckets (scanned via the ~span/sub-element arrays)
+    and k−1 FULL interior buckets, counted in O(1) as the prefix-count
+    difference _Phi − _Plo. The boundary splits are exact because within
+    bucket bl every point is ≤ _hi (bucket end ≤ _lo + span) and within
+    bh every point is ≥ _lo. A null probe _lo/_hi yields _rc = 0 (the
+    join misses), matching a null-timestamp row matching no interval."""
+    pr = probes.withColumn("_bl", F.expr(f"_lo div {sub_us}"))
+    j = pr.join(
+        F.broadcast(lut.withColumnRenamed("_pb", "_bl")), [*keys, "_bl"], "left"
     )
     lo, hi = F.col("_lo"), F.col("_hi")
     scan = lambda arr, pred: F.coalesce(F.size(F.filter(arr, pred)), F.lit(0))  # noqa: E731
@@ -1663,7 +1656,7 @@ def _bucketed_range_count(probes, points, keys, sub_us, span_us):
         + F.coalesce("_Phi", F.lit(0)) - F.coalesce("_Plo", F.lit(0))
         + scan(F.col("_ah"), lambda x: x <= hi)
     )
-    return j.withColumn("_rc", rc)
+    return j.withColumn("_rc", rc).drop("_al", "_ah", "_Plo", "_Phi", "_bl")
 
 
 def q39_interval_join(spark, sf_dir):
@@ -1686,16 +1679,20 @@ def q39_interval_join(spark, sf_dir):
     #{w : c_T(w) >= 1}; a type appears in the output iff n_pairs >= 1 iff
     n_windows >= 1, so the two branches inner-join losslessly.
 
-    Each range count is a bucketed rank lookup (_bucketed_range_count):
-    fixed sub-buckets of W/16, per-bucket point arrays for the two partial
-    boundary buckets (~10 elements each) and a dense per-bucket prefix-
-    count table for the full interior buckets — so a probe costs two O(1)
-    broadcast-map lookups plus two ~10-element scans, instead of scanning
-    the ~280 co-window points (or producing ~280 join rows) per probe.
-    Integer-µs arithmetic throughout (unix_micros), so boundary pairs
-    compare exactly as the timestamp-domain join condition. No pair row
-    ever exists: the widest stream is |events| rows (events side) and
-    |signups| x |types| rows (windows side)."""
+    Each range count is a bucketed rank lookup (_range_count_lut /
+    _attach_range_count): fixed sub-buckets of W/16, per-bucket point
+    arrays for the two partial boundary buckets (~10 elements each) and a
+    dense per-bucket prefix-count table for the full interior buckets — so
+    a probe costs ONE broadcast-map lookup plus two ~10-element scans,
+    instead of scanning the ~280 co-window points (or producing ~280 join
+    rows) per probe. Both sides share ONE type-keyed lookup table
+    (localCheckpointed, so the aggregate+window build runs once): the
+    events side probes it with key 'signup' over [t−W, t], the windows
+    side with each type over [t, t+W]. Integer-µs arithmetic throughout
+    (unix_micros), so boundary pairs compare exactly as the
+    timestamp-domain join condition. No pair row ever exists: the widest
+    stream is |events| rows (events side) and |signups| x |types| rows
+    (windows side)."""
     W_US = 1_800_000_000  # 30 min in µs
     SUB = W_US // 16  # sub-bucket width; 16 sub-buckets per window length
 
@@ -1705,11 +1702,23 @@ def q39_interval_join(spark, sf_dir):
     is_signup = F.col("event_type") == "signup"
     sig = e.filter(is_signup & F.col("t").isNotNull())
 
+    # one shared lookup table, keyed by event type via a null sentinel so a
+    # null type (absent from the generator, but cheap to keep exact) still
+    # matches its own per-bucket arrays the way the pair join's groupBy
+    # would
+    tkey = F.coalesce(F.col("event_type"), F.lit("\x00"))
+    pts = e.filter(F.col("t").isNotNull()).select(tkey.alias("_tk"), "t")
+    lut = _range_count_lut(pts, ["_tk"], SUB, W_US).localCheckpoint(eager=False)
+
     # ---- events side: m(e) = signups in [t-W, t] ------------------------
-    probes = e.withColumn("_lo", F.col("t") - F.lit(W_US)).withColumn(
-        "_hi", F.col("t")
+    probes = e.select(
+        "event_type",
+        "t",
+        F.lit("signup").alias("_tk"),
+        (F.col("t") - F.lit(W_US)).alias("_lo"),
+        F.col("t").alias("_hi"),
     )
-    counted = _bucketed_range_count(probes, sig.select("t"), [], SUB, W_US)
+    counted = _attach_range_count(probes, lut, ["_tk"], SUB)
     m = F.col("_rc") - F.when(is_signup & F.col("t").isNotNull(), 1).otherwise(0)
     ev_side = (
         counted.select("event_type", m.alias("_m"))
@@ -1719,11 +1728,6 @@ def q39_interval_join(spark, sf_dir):
     )
 
     # ---- windows side: c_T(w) = type-T events in [t, t+W] ---------------
-    # event_type rides as a join key via a null sentinel so a null type
-    # (absent from the generator, but cheap to keep exact) still matches
-    # its own per-bucket arrays the way the pair join's groupBy would.
-    tkey = F.coalesce(F.col("event_type"), F.lit("\x00"))
-    pts = e.filter(F.col("t").isNotNull()).select(tkey.alias("_tk"), "t")
     types = e.select(F.col("event_type").alias("_ty")).distinct()
     wprobes = (
         sig.select("t")
@@ -1736,7 +1740,7 @@ def q39_interval_join(spark, sf_dir):
             (F.col("t") + F.lit(W_US)).alias("_hi"),
         )
     )
-    wcounted = _bucketed_range_count(wprobes, pts, ["_tk"], SUB, W_US)
+    wcounted = _attach_range_count(wprobes, lut, ["_tk"], SUB)
     c = F.col("_rc") - F.when(F.col("_ty").eqNullSafe("signup"), 1).otherwise(0)
     win_side = (
         wcounted.select(F.col("_ty").alias("event_type"), c.alias("_c"))
