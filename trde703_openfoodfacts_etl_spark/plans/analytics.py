@@ -1159,11 +1159,14 @@ def q55_quality_rules(spark, sf_dir):
     duplicate-bigram fractions (repetition), stopword fraction, and
     most-common-word fraction, combined into a keep/drop decision.
 
-    Scale shape: every metric except top-word fraction is a per-row array
-    computation (split → higher-order functions, pure codegen, zero
-    shuffle); top-word fraction is the one genuinely distributional metric
-    and uses the standard explode → (doc, word) count → per-doc max —
-    partial-aggregated, skew-safe. No UDFs anywhere."""
+    Scale shape: EVERY metric is a per-row array computation (split →
+    higher-order functions, zero shuffle, no UDFs). Top-word fraction —
+    max word multiplicity / n — is the max run length of the sorted token
+    array, one O(n log n) sort + O(n) aggregate per row; the previous
+    explode → (doc, word) count → per-doc max → join form paid two
+    shuffles of the exploded corpus plus a join for a metric that only
+    ever looks at one row's tokens (r6: 1.65 s of q55's 2.8 s at a
+    50k-doc corpus)."""
     d = load(spark, sf_dir, "documents", spread=True).filter(F.col("text").isNotNull())
     w = F.split(F.trim(F.col("text")), r"\s+")
     base = d.select("doc_id", w.alias("_w"))
@@ -1174,7 +1177,21 @@ def q55_quality_rules(spark, sf_dir):
         lambda a, b: F.concat_ws(" ", a, b),
     )
     stop_expr = "size(filter(_w, x -> x IN ('the','a','of','to','and','in')))"
-    per_doc = base.select(
+    # max word multiplicity = longest equal-run of the sorted token array
+    # (split yields no NULL elements, so x <=> s.prev only ties equal words)
+    max_mult = F.expr(
+        """
+        aggregate(
+          array_sort(_w),
+          named_struct('best', 0L, 'run', 0L, 'prev', cast(null as string)),
+          (s, x) -> named_struct(
+              'best', greatest(s.best, if(x <=> s.prev, s.run + 1L, 1L)),
+              'run',  if(x <=> s.prev, s.run + 1L, 1L),
+              'prev', x),
+          s -> s.best)
+        """
+    )
+    out = base.select(
         "doc_id",
         n.alias("n_words"),
         F.round(
@@ -1188,16 +1205,8 @@ def q55_quality_rules(spark, sf_dir):
             "bigram_dup_frac"
         ),
         F.round(F.expr(stop_expr) / n, 4).alias("stop_frac"),
+        F.round(max_mult / n, 4).alias("top_word_frac"),
     )
-    top = (
-        base.select("doc_id", F.explode("_w").alias("wd"))
-        .groupBy("doc_id", "wd")
-        .count()
-        .groupBy("doc_id")
-        .agg(F.max("count").alias("_mx"), F.sum("count").alias("_n"))
-        .select("doc_id", F.round(F.col("_mx") / F.col("_n"), 4).alias("top_word_frac"))
-    )
-    out = per_doc.join(top, "doc_id")
     keep = (
         (F.col("n_words") >= 20)
         & (F.col("top_word_frac") <= 0.12)
