@@ -145,6 +145,46 @@ def mingram_fingerprint_expr(col, n: int = 3):
     return F.element_at(F.transform(F.array(toks), fp_of), 1)
 
 
+def mingram_fingerprint_vec(col, n: int = 3):
+    """Value-identical fast path for :func:`mingram_fingerprint_expr`.
+
+    The per-gram ``md5(concat_ws(...))`` chain runs INTERPRETED inside the
+    transform lambda (no codegen through higher-order functions) — ~27 µs
+    of CPU per gram; at a 50k-doc corpus that was 2.3 s of q27 (r6). Here
+    normalization (trim → lower → whitespace-collapse) stays a JVM
+    expression — so every locale/Unicode-sensitive step keeps Spark
+    semantics — and the Python side performs only byte-exact operations:
+    split on a single space, single-space join, UTF-8 encode (the same
+    bytes Spark's md5() hashes), hashlib.md5 hexdigest (C speed), and min
+    over lowercase-hex ASCII strings (Python str < == UTF8String binary
+    <). Parity with the expression form is pinned by
+    tests/test_text_functions.py across Unicode/edge corpora."""
+
+    @F.pandas_udf("string")
+    def _fp(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        md5 = hashlib.md5
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            w = t.split(" ")
+            if len(w) < n:
+                out.append(md5(t.encode("utf-8")).hexdigest())
+            else:
+                out.append(
+                    min(
+                        md5(" ".join(w[i : i + n]).encode("utf-8")).hexdigest()
+                        for i in range(len(w) - n + 1)
+                    )
+                )
+        return pd.Series(out, dtype="object")
+
+    return _fp(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+
+
 # ---------------------------------------------------------------------------
 # Arrow-batched pandas UDFs (vectorized slow path)
 # ---------------------------------------------------------------------------
