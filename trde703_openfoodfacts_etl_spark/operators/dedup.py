@@ -29,8 +29,11 @@ from ..functions.text import fingerprint_expr, simhash64
 
 
 def exact_duplicates(df, text_col: str = "text", id_col: str = "doc_id"):
-    """Groups of byte-identical (modulo case/whitespace) documents."""
-    df = _spread(df)
+    """Groups of byte-identical (modulo case/whitespace) documents.
+
+    No spread(): the per-row work is ONE normalize+md5, which a single
+    core clears faster than the extra round-robin stage costs (r6 A/B:
+    spread 1.47 s vs 0.74 s at a 50k-doc single-row-group corpus)."""
     return (
         df.groupBy(fingerprint_expr(F.col(text_col)).alias("fingerprint"))
         .agg(

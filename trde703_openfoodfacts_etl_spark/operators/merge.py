@@ -229,10 +229,35 @@ def _apply_batch_once(
     # ---- MOR fast path: append in-batch winners as delta files ---------------
     # One Spark job total: the winners write IS the first action (no separate
     # touched-buckets scan — write_bucket_files already reports the buckets
-    # it produced, which is exactly the touched set after LWW).
+    # it produced, which is exactly the touched set after LWW). ONE shuffle
+    # total: the batch is repartitioned by bucket up front (bucket is a
+    # function of conv_id, so adding it to the LWW groupBy changes no
+    # group), the aggregate reuses that exchange (subset rule) and the
+    # bucket-partitioned write needs no further shuffle — the previous
+    # lww_winners-then-repartition form shuffled the winners a second time
+    # just to lay them out by bucket.
     if mode == "mor":
+        nonkey_m = [c for c in payload_cols if c not in KEY_COLS]
+        carried_m = F.struct(*[F.col(c) for c in nonkey_m], F.col("op"), F.col("lsn"))
+        env_b = env.withColumn(META_BUCKET, bucket_expr(num_buckets)).repartition(
+            *(
+                [F.col(META_BUCKET)]
+                if files_per_bucket <= 1
+                else [F.col(META_BUCKET), F.col("conv_id")]
+            )
+        )
         winners = (
-            lww_winners(env, payload_cols)
+            env_b.groupBy(META_BUCKET, *KEY_COLS)
+            .agg(
+                F.max_by(carried_m, _order_struct(F.col("ts"), F.col("lsn"))).alias("_w")
+            )
+            .select(
+                META_BUCKET,
+                *KEY_COLS,
+                *[F.col(f"_w.{c}").alias(c) for c in nonkey_m],
+                F.col("_w.op").alias("op"),
+                F.col("_w.lsn").alias(META_LSN),
+            )
             .withColumn(META_DELETED, F.col("op") == "D")
             .withColumn(
                 META_ROW_HASH,
@@ -241,10 +266,10 @@ def _apply_batch_once(
                 ),
             )
             .drop("op")
-            .withColumn(META_BUCKET, bucket_expr(num_buckets))
         )
         replaced = lake.write_bucket_files(
-            winners, snap["snapshot_id"] + 1, snap["schema_id"], files_per_bucket
+            winners, snap["snapshot_id"] + 1, snap["schema_id"], files_per_bucket,
+            pre_partitioned=True,
         )
         pre = _obs_pre()
         _t["delta_write"] = time.time()

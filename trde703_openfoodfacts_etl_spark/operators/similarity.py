@@ -244,8 +244,9 @@ def corpus_lsh_topk(corpus, probes, plane_ids: list[int], bands: int = 3,
 
     Same inverted-index shape as :func:`lsh_topk` (bucket equi-join, exact
     cosine re-rank) but with every step a DataFrame op, no UDF — the
-    oracle-checkable twin of the pandas-UDF production path."""
-    corpus = _spread(corpus)  # single-row-group inputs: dot on every core
+    oracle-checkable twin of the pandas-UDF production path. No spread():
+    the plane join + bucket aggregate shuffle the corpus anyway, so the
+    extra round-robin stage only adds latency (r6 A/B at both SFs)."""
     per_band = len(plane_ids) // bands
     pm = _plane_map(corpus.sparkSession, plane_ids, per_band)
     planes = pm.join(

@@ -373,7 +373,7 @@ WHERE r.rn = 1
 
 def q14_json_extract(spark, sf_dir):
     """Semi-structured extraction (props JSON column) + modular bucketing."""
-    e = load(spark, sf_dir, "events", spread=True)
+    e = load(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
     return (
         e.select((k % 10).alias("k_bucket"), "value")
@@ -481,7 +481,7 @@ def q18_exact_dedup(spark, sf_dir):
     scalable: one shuffle on the 128-bit hash, not the text)."""
     from ..functions.text import fingerprint_expr
 
-    d = load(spark, sf_dir, "documents", spread=True)
+    d = load(spark, sf_dir, "documents")
     return (
         d.groupBy(fingerprint_expr(F.col("text")).alias("fingerprint"))
         .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
@@ -988,7 +988,7 @@ FROM b GROUP BY kind ORDER BY kind
 def q31_word_explode(spark, sf_dir):
     """explode(split(...)) multi-valued → rows (reference F6,
     etl/silver_to_gold.py:89,113,138): top-20 words over documents."""
-    d = load(spark, sf_dir, "documents", spread=True)
+    d = load(spark, sf_dir, "documents")
     words = d.select(
         F.explode(F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")).alias("word")
     )
@@ -1325,7 +1325,7 @@ def q57_sequence_packing(spark, sf_dir):
     from ..functions.text import token_count_expr
 
     TARGET = 512
-    d = load(spark, sf_dir, "documents", spread=True).filter(
+    d = load(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.trim("text") != "")
     )
     toks = d.select(
@@ -1371,7 +1371,7 @@ def q58_source_mixing(spark, sf_dir):
     kept tokens for the mixture audit."""
     from ..functions.text import token_count_expr
 
-    d = load(spark, sf_dir, "documents", spread=True).filter(
+    d = load(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.trim("text") != "")
     )
     src_num = F.regexp_extract("source", "([0-9]+)$", 1).cast("int")
@@ -1544,7 +1544,7 @@ def q37_cosine_neardup(spark, sf_dir):
     membership."""
     from ..operators.similarity import cosine_neardup_pairs_matmul
 
-    e = load(spark, sf_dir, "embeddings", spread=True)
+    e = load(spark, sf_dir, "embeddings")
     return (
         cosine_neardup_pairs_matmul(e, threshold=0.39, block_col="label")
         .select("id_a", "id_b")
@@ -1725,7 +1725,7 @@ def q39_interval_join(spark, sf_dir):
     W_US = 1_800_000_000  # 30 min in µs
     SUB = W_US // 16  # sub-bucket width; 16 sub-buckets per window length
 
-    ev = load(spark, sf_dir, "events", spread=True).select("event_id", "ts", "event_type")
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type")
     us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
     e = ev.select("event_type", us.alias("t"))
     is_signup = F.col("event_type") == "signup"
@@ -1917,7 +1917,7 @@ def q43_contamination(spark, sf_dir):
     the naive doc-level self-join the oracle runs)."""
     from ..functions.text import mingram_fingerprint_vec
 
-    d = load(spark, sf_dir, "documents", spread=True)
+    d = load(spark, sf_dir, "documents")
     per = (
         d.select(mingram_fingerprint_vec(F.col("text")).alias("_fp"), "source")
         .groupBy("_fp", "source")
