@@ -62,6 +62,19 @@ from ..sources.lake import LakeTable, SnapshotConflict, bucket_expr, row_hash_ex
 
 ENVELOPE_COLS = ("op", "lsn", "event_ts")
 
+#: COW change-detect shape gate (manifest live+dead rows, known driver-side
+#: before any job runs): at or below this, the touched-bucket pre-pass —
+#: an extra materialize-the-batch-winners job + collect per batch — costs
+#: more than letting the detection job scan every bucket's skinny columns
+#: (~30 B/row), so a1 fuses into a2 (r6: one job instead of three per
+#: batch; sf1.0-shape replay 12.9 s → 9.5 s). Above it, the pre-pass pays
+#: for itself by pruning the state read to touched buckets — the
+#: O(changed)-not-O(table) property that matters at thousands of buckets.
+#: At the default, the fused path's extra skinny scan is bounded by
+#: ~8M × 30 B ≈ 240 MB spread over the cluster; deployments can tune it
+#: per-table via this module constant.
+FUSED_DETECT_MAX_ROWS = 8_000_000
+
 _TS_FLOOR = "CAST('1970-01-01 00:00:00' AS TIMESTAMP)"
 
 
@@ -313,13 +326,32 @@ def _apply_batch_once(
     # ---- action 1 (COW only): skinny in-batch LWW pre-aggregate --------------
     # ONE narrow scan of the batch serves BOTH the touched-bucket set and the
     # change detection: the per-key in-batch winner (row-hash, tombstone flag,
-    # order key — ~40 bytes/key, never the payload) is materialized via an
-    # eager localCheckpoint, so deriving the touched buckets and merging
-    # against current state never re-scan the batch input. COW thus scans the
-    # batch exactly twice end-to-end: here (skinny) and in action 3 (payload).
-    # LWW is associative, so pre-deduping the batch then merging with state is
+    # order key — ~40 bytes/key, never the payload). COW thus scans the batch
+    # exactly twice end-to-end: here (skinny) and in action 3 (payload). LWW
+    # is associative, so pre-deduping the batch then merging with state is
     # identical to merging raw events; map-side partial aggregation reduces
     # hot keys before the exchange either way.
+    #
+    # TWO execution shapes, chosen from manifest stats BEFORE any job runs:
+    # - small table (≤ FUSED_DETECT_MAX_ROWS live+dead rows): the touched-
+    #   bucket pre-pass job would cost more than just scanning every
+    #   bucket's skinny columns, so the batch aggregate feeds the change-
+    #   detection job DIRECTLY (no checkpoint, no extra action) and the
+    #   touched set falls out of the same collect (buckets with batch
+    #   events). One Spark job for a1+a2 instead of three.
+    # - large table: materialize the batch winners (eager localCheckpoint),
+    #   collect their buckets, and prune the state read to exactly the
+    #   touched buckets — the O(changed)-not-O(table) path that matters at
+    #   thousands of buckets.
+    # physical file rows (per-file parquet footer counts carried in the
+    # manifest) — exactly what the fused skinny scan would read; bucket-
+    # level "rows" can be None for as-yet-uncompacted MOR delta buckets
+    total_state_rows = sum(
+        int(fe.get("rows") or 0)
+        for b in snap["buckets"].values()
+        for fe in b["files"]
+    )
+    fused = total_state_rows <= FUSED_DETECT_MAX_ROWS
     sk_batch = (
         env.select(
             *KEY_COLS,
@@ -349,24 +381,30 @@ def _apply_batch_once(
             "_max_lsn",
             F.lit("new").alias("_src"),
         )
-        .localCheckpoint(eager=True)
     )
-    pre = _obs_pre()
-    touched = sorted(
-        int(r[0])
-        for r in sk_batch.select(bucket_expr(num_buckets).alias(META_BUCKET))
-        .distinct()
-        .collect()
-    )
-    _t["a1_touched"] = time.time()
-    if not touched:
-        return _commit_empty(pre)
+    if fused:
+        read_buckets = None
+        touched: list[int] = []  # derived from the detection collect below
+    else:
+        sk_batch = sk_batch.localCheckpoint(eager=True)
+        pre = _obs_pre()
+        touched = sorted(
+            int(r[0])
+            for r in sk_batch.select(bucket_expr(num_buckets).alias(META_BUCKET))
+            .distinct()
+            .collect()
+        )
+        _t["a1_touched"] = time.time()
+        if not touched:
+            return _commit_empty(pre)
+        read_buckets = list(touched)
 
     # ---- action 2: skinny change detection (hash-only, no payload moves) -----
-    # Checkpointed batch winners union current state of touched buckets →
-    # one LWW aggregate; output: per-bucket changed/live/dead counts + HWMs.
+    # Batch winners union current state (touched buckets only on the large-
+    # table path) → one LWW aggregate; output: per-bucket changed/live/dead
+    # counts + HWMs.
     sk_cur = (
-        lake.read(buckets=list(touched), include_deleted=True, with_meta=True, snap=snap)
+        lake.read(buckets=read_buckets, include_deleted=True, with_meta=True, snap=snap)
         .select(
             *KEY_COLS,
             F.col(META_ROW_HASH).alias("_h"),
@@ -414,6 +452,15 @@ def _apply_batch_once(
         .collect()
     )
     _t["a2_skinny"] = time.time()
+    if fused:
+        # the touched set falls out of the same collect: buckets that saw
+        # ≥1 batch event (untouched buckets appear too — state-only rows —
+        # with n_events = 0 and n_changed = 0)
+        pre = _obs_pre()
+        touched = sorted(int(r[META_BUCKET]) for r in sk if r["n_events"] > 0)
+        sk = [r for r in sk if r["n_events"] > 0]
+        if not touched:
+            return _commit_empty(pre)
     changed_buckets = sorted(int(r[META_BUCKET]) for r in sk if r["n_changed"] > 0)
     bucket_rows = {int(r[META_BUCKET]): int(r["live_rows"]) for r in sk}
     bucket_dead = {int(r[META_BUCKET]): int(r["dead_rows"]) for r in sk}
