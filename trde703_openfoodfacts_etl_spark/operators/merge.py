@@ -352,41 +352,50 @@ def _apply_batch_once(
         for fe in b["files"]
     )
     fused = total_state_rows <= FUSED_DETECT_MAX_ROWS
-    sk_batch = (
-        env.select(
-            *KEY_COLS,
-            F.when(F.col("op") == "D", F.lit(None).cast("long"))
-            .otherwise(row_hash_expr(payload_cols))
-            .alias("_h"),
-            (F.col("op") == "D").alias("_d"),
-            F.coalesce(F.col("ts"), F.expr(_TS_FLOOR)).alias("_ts"),
-            F.col("lsn").alias("_lsn_w"),
-        )
-        .groupBy(*KEY_COLS)
-        .agg(
-            F.max_by(
-                F.struct("_h", "_d", "_ts", "_lsn_w"),
-                F.struct(F.col("_ts"), F.col("_lsn_w")),
-            ).alias("_w"),
-            F.count(F.lit(1)).alias("_n_events"),
-            F.max("_lsn_w").alias("_max_lsn"),
-        )
-        .select(
-            *KEY_COLS,
-            F.col("_w._h").alias("_h"),
-            F.col("_w._d").alias("_d"),
-            F.col("_w._ts").alias("_ts"),
-            F.col("_w._lsn_w").alias("_lsn_w"),
-            "_n_events",
-            "_max_lsn",
-            F.lit("new").alias("_src"),
-        )
+    sk_rows = env.select(
+        *KEY_COLS,
+        F.when(F.col("op") == "D", F.lit(None).cast("long"))
+        .otherwise(row_hash_expr(payload_cols))
+        .alias("_h"),
+        (F.col("op") == "D").alias("_d"),
+        F.coalesce(F.col("ts"), F.expr(_TS_FLOOR)).alias("_ts"),
+        F.col("lsn").alias("_lsn_w"),
+        F.lit(1).cast("long").alias("_n_events"),
+        F.col("lsn").alias("_max_lsn"),
+        F.lit("new").alias("_src"),
     )
     if fused:
+        # RAW batch rows feed the detection aggregate directly: a per-key
+        # pre-aggregate here would shuffle the batch by key only for the
+        # union to erase the partitioning and shuffle it by the same key
+        # again (LWW is associative, so one aggregate over raw∪state rows
+        # is identical; map-side partials still reduce hot keys)
+        sk_batch = sk_rows
         read_buckets = None
         touched: list[int] = []  # derived from the detection collect below
     else:
-        sk_batch = sk_batch.localCheckpoint(eager=True)
+        sk_batch = (
+            sk_rows.groupBy(*KEY_COLS)
+            .agg(
+                F.max_by(
+                    F.struct("_h", "_d", "_ts", "_lsn_w"),
+                    F.struct(F.col("_ts"), F.col("_lsn_w")),
+                ).alias("_w"),
+                F.sum("_n_events").alias("_n_events"),
+                F.max("_max_lsn").alias("_max_lsn"),
+            )
+            .select(
+                *KEY_COLS,
+                F.col("_w._h").alias("_h"),
+                F.col("_w._d").alias("_d"),
+                F.col("_w._ts").alias("_ts"),
+                F.col("_w._lsn_w").alias("_lsn_w"),
+                "_n_events",
+                "_max_lsn",
+                F.lit("new").alias("_src"),
+            )
+            .localCheckpoint(eager=True)
+        )
         pre = _obs_pre()
         touched = sorted(
             int(r[0])
