@@ -383,3 +383,40 @@ def test_q39_count_form_matches_on_random_events(spark, tmp_path):
     want = sorted(map(tuple, _q39_reference(
         spark.read.parquet(os.path.join(d, "events.parquet"))).collect()))
     assert got == want
+
+
+def test_asof_right_tiebreak_matches_pre_dedup(spark):
+    """r6: right_tiebreak folds the right-side max_by dedup into the window
+    sort. For every mode (inclusive/strict × plain/skew-bucketed) the
+    result must equal deduping upstream with max_by(payload, tiebreak)."""
+    import pyspark.sql.functions as SF
+
+    left = spark.createDataFrame(
+        [("k1", _ts(1)), ("k1", _ts(5)), ("k1", _ts(9)), ("k2", _ts(4)), ("k3", _ts(2))],
+        "key string, ts timestamp",
+    )
+    # duplicate (key, rts) pairs with different payloads/tiebreaks
+    right = spark.createDataFrame(
+        [("k1", _ts(0), 10, "a"), ("k1", _ts(0), 12, "b"), ("k1", _ts(0), 11, "c"),
+         ("k1", _ts(5), 20, "d"), ("k1", _ts(5), 21, "e"),
+         ("k2", _ts(4), 30, "f"), ("k2", _ts(4), 29, "g")],
+        "key string, rts timestamp, tb int, state string",
+    )
+    latest = (
+        right.groupBy("key", "rts")
+        .agg(SF.max_by(SF.struct("tb", "state"), "tb").alias("s"))
+        .select("key", "rts", SF.col("s.tb").alias("tb"), SF.col("s.state").alias("state"))
+    )
+    for strict in (False, True):
+        for skew in (None, 3):
+            got = asof_join(
+                left, right, on="key", left_ts="ts", right_ts="rts",
+                payload_cols=["tb", "state"], strict=strict,
+                skew_bucket_seconds=skew, right_tiebreak="tb",
+            ).orderBy("key", "ts").collect()
+            want = asof_join(
+                left, latest, on="key", left_ts="ts", right_ts="rts",
+                payload_cols=["tb", "state"], strict=strict,
+                skew_bucket_seconds=skew,
+            ).orderBy("key", "ts").collect()
+            assert [tuple(r) for r in got] == [tuple(r) for r in want], (strict, skew)
