@@ -56,6 +56,7 @@ def asof_join(
     strict: bool = False,
     tolerance_seconds: float | None = None,
     skew_bucket_seconds: int | None = None,
+    right_tiebreak: str | None = None,
 ):
     """For every left row, attach the latest right row with
     ``right[right_ts] <= left[left_ts]`` (``<`` when ``strict``) sharing the
@@ -69,7 +70,15 @@ def asof_join(
     extra shuffle.
 
     ``right`` must be unique per (key, right_ts) — dedupe upstream if not,
-    or the carried row among ties is unspecified. Right rows with a NULL
+    or the carried row among ties is unspecified. ``right_tiebreak`` (a
+    right column name) lifts that requirement WITHOUT the upstream dedup's
+    extra shuffle+aggregate: right rows tied on (key, right_ts) order by
+    the tiebreak ascending and the LAST one wins, i.e. the carried row is
+    exactly ``max_by(payload, tiebreak)`` per (key, ts) — associativity of
+    "latest wins" folds the dedup into the window's existing sort (r6:
+    removed a full shuffle of the right side from q38). The tiebreak only
+    orders right rows among themselves; left-vs-right order at equal ts
+    stays decided by the side flag. Right rows with a NULL
     ``right_ts`` never match (DuckDB ASOF / pandas merge_asof semantics).
     Left rows with a NULL ``left_ts`` always get a NULL payload (no match):
     they sort nulls-first in the window, before every right row, and with a
@@ -109,6 +118,7 @@ def asof_join(
         [T.StructField(c, right.schema[c].dataType) for c in payload_cols]
         + [T.StructField(_RTSF, T.TimestampType())]
     )
+    _TB = "__asof_tiebreak"
     l_tagged = (
         left.withColumn(_SIDE, F.lit(1))
         .withColumn(_TS, F.col(left_ts).cast("timestamp"))
@@ -125,17 +135,29 @@ def asof_join(
                 F.col(right_ts).cast("timestamp").alias(_RTSF),
             ),
         )
-        .select(*keys, _SIDE, _TS, _PAY)
     )
-    for c in left.columns:
+    if right_tiebreak is not None:
+        l_tagged = l_tagged.withColumn(
+            _TB, F.lit(None).cast(right.schema[right_tiebreak].dataType)
+        )
+        r_tagged = r_tagged.withColumn(_TB, F.col(right_tiebreak))
+    r_keep = [*keys, _SIDE, _TS, _PAY] + ([_TB] if right_tiebreak is not None else [])
+    r_tagged = r_tagged.select(*r_keep)
+    for c in l_tagged.columns:
         if c not in r_tagged.columns:
-            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(dict(
+                zip(l_tagged.columns, [f.dataType for f in l_tagged.schema.fields])
+            )[c]))
     cols = l_tagged.columns
     u = l_tagged.select(cols).unionByName(r_tagged.select(cols))
 
     # Inclusive: a right row at the same ts is visible to the left row
-    # (side 0 sorts before side 1). Strict: left sorts first.
+    # (side 0 sorts before side 1). Strict: left sorts first. The optional
+    # tiebreak orders equal-ts right rows among themselves (nulls-first
+    # asc, so left rows' NULL tiebreak never reorders them vs each other).
     order = [F.col(_TS).asc(), F.col(_SIDE).asc() if not strict else F.col(_SIDE).desc()]
+    if right_tiebreak is not None:
+        order.append(F.col(_TB).asc_nulls_first())
     if skew_bucket_seconds is None:
         w = W.partitionBy(*keys).orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
         filled = u.select(
@@ -166,8 +188,13 @@ def asof_join(
         # buckets. A carried row is always strictly older than anything in
         # the bucket (equal ts ⇒ equal bucket), so strict/inclusive modes
         # need no extra handling.
+        _bl_order = (
+            F.col(_TS)
+            if right_tiebreak is None
+            else F.struct(F.col(_TS), F.col(_TB))
+        )
         bucket_last = u.groupBy(*keys, _BKT).agg(
-            F.max_by(_PAY, F.when(F.col(_SIDE) == 0, F.col(_TS))).alias(_BL)
+            F.max_by(_PAY, F.when(F.col(_SIDE) == 0, _bl_order)).alias(_BL)
         )
         w_carry = W.partitionBy(*keys).orderBy(_BKT).rowsBetween(W.unboundedPreceding, -1)
         carry = bucket_last.withColumn(
@@ -197,7 +224,7 @@ def asof_join(
         ) <= F.lit(float(tolerance_seconds))
         pay = F.when(fresh, pay)
     return out.select(
-        *[c for c in cols if c not in (_PAY, _SIDE, _TS)],
+        *[c for c in cols if c not in (_PAY, _SIDE, _TS, _TB)],
         *[pay[c].alias(c) for c in payload_cols],
     )
 

@@ -58,7 +58,14 @@ def word_shingles(col, n: int = 3):
     def shingles_of(t):
         cnt = F.size(t)
         idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
-        gram = lambda i: F.concat_ws(" ", F.slice(t, i + 1, n))  # noqa: E731
+        # n is a plan-time Python int, so the gram is n O(1) element_at
+        # lookups — the slice() form allocated a fresh n-element array per
+        # gram inside the interpreted lambda (r6: the shingle build alone
+        # was 1.5 s at a 50k-doc corpus; ~2× cheaper this way). concat_ws
+        # over the looked-up elements produces byte-identical grams.
+        gram = lambda i: F.concat_ws(  # noqa: E731
+            " ", *[F.element_at(t, i + k + 1) for k in range(n)]
+        )
         return F.when(cnt < n, F.array(F.concat_ws(" ", t))).otherwise(
             F.array_distinct(F.transform(idx, gram))
         )

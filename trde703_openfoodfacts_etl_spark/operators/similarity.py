@@ -43,6 +43,30 @@ def cosine_expr(a, b):
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def cosine_vec(a, b):
+    """Value-identical vectorized twin of :func:`cosine_expr` (r6): per
+    Arrow batch, numpy computes dot and norms with SEQUENTIAL summation
+    (`np.cumsum` over elementwise double products) — the same rounding
+    sequence as the SQL left fold, so the doubles are bit-identical and
+    rank orderings cannot drift. sqrt/multiply/divide are single-rounding
+    IEEE ops in both engines. The HOF fold runs interpreted (~µs per
+    64-dim pair); this is the re-rank hot path of the ANN operators."""
+
+    @F.pandas_udf("double")
+    def _cos(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        if not len(xs):
+            return pd.Series([], dtype="float64")
+        A = np.stack(xs.to_numpy()).astype(np.float64)
+        B = np.stack(ys.to_numpy()).astype(np.float64)
+        dot = np.cumsum(A * B, axis=1)[:, -1]
+        na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
+        nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(dot / (na * nb))
+
+    return _cos(a, b)
+
+
 def cosine_topk(corpus, probes, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding"):
     """Exact top-k cosine neighbors of each probe (probe set broadcast)."""
@@ -217,16 +241,18 @@ def _plane_map(spark, plane_ids: list[int], per_band: int):
     return spark.createDataFrame(rows, "plane_id long, band int, weight long")
 
 
-def corpus_plane_buckets(df, planes, id_col="vec_id", vec_col="embedding",
-                         out_id="id"):
-    """Sign-bit LSH bucket per (vector, band), hyperplanes = corpus vectors.
-
-    Fully declarative (no Python anywhere): broadcast the tiny plane table,
-    one projection computes dot signs, one partial-aggregated groupBy packs
-    sign bits into the band bucket. Using corpus vectors as hyperplanes makes
-    the whole construction expressible in ANSI SQL — the DuckDB oracle
-    recomputes identical buckets (dots are sequential left folds on both
-    sides, so the doubles are bit-identical)."""
+def corpus_plane_buckets_expr(df, planes, id_col="vec_id", vec_col="embedding",
+                              out_id="id"):
+    """Sign-bit LSH bucket per (vector, band), hyperplanes = corpus vectors —
+    the declarative reference form: broadcast the tiny plane table, one
+    projection computes dot signs, one partial-aggregated groupBy packs
+    sign bits into the band bucket. Using corpus vectors as hyperplanes
+    makes the whole construction expressible in ANSI SQL — the DuckDB
+    oracle recomputes identical buckets (dots are sequential left folds on
+    both sides, so the doubles are bit-identical). Kept as the parity
+    reference for :func:`corpus_plane_buckets` (tests/test_similarity.py);
+    the HOF fold runs interpreted (no codegen through lambdas), ~2.3 s for
+    20k vectors × 12 planes (r6)."""
     bit = (_dot(F.col(vec_col), F.col("_p")) > 0).cast("long")
     return (
         df.select(F.col(id_col).alias(out_id), F.col(vec_col))
@@ -235,6 +261,43 @@ def corpus_plane_buckets(df, planes, id_col="vec_id", vec_col="embedding",
         .groupBy(out_id, "band")
         .agg(F.sum("_contrib").alias("bucket"))
     )
+
+
+def corpus_plane_buckets(df, planes, id_col="vec_id", vec_col="embedding",
+                         out_id="id"):
+    """Value-identical vectorized form of :func:`corpus_plane_buckets_expr`.
+
+    The tiny plane table (an ANN index — 12 rows) is collected at plan
+    build; per Arrow batch, numpy computes each plane's dot with
+    SEQUENTIAL summation (`np.cumsum` over the elementwise double
+    products), which reproduces the SQL left fold's rounding bit-for-bit:
+    float32→double casts are exact, each product is one double rounding,
+    and cumsum adds strictly left-to-right — so sign decisions (and hence
+    buckets) cannot drift from the declarative/oracle form. Also removes
+    the 12× row blowup of the crossJoin and its aggregate."""
+    rows = sorted(
+        planes.select("band", "weight", "_p").collect(),
+        key=lambda r: (r["band"], r["weight"]),
+    )
+    P = np.array([list(r["_p"]) for r in rows], dtype=np.float32).astype(np.float64)
+    band_of = [int(r["band"]) for r in rows]
+    weight_of = [int(r["weight"]) for r in rows]
+    n_bands = max(band_of) + 1
+
+    @F.pandas_udf("array<long>")
+    def _buckets(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype="object")
+        V = np.stack(vs.to_numpy()).astype(np.float64)
+        out = np.zeros((len(vs), n_bands), dtype=np.int64)
+        for i in range(P.shape[0]):
+            dots = np.cumsum(V * P[i][None, :], axis=1)[:, -1]
+            out[:, band_of[i]] += (dots > 0) * weight_of[i]
+        return pd.Series(list(out))
+
+    return df.select(
+        F.col(id_col).alias(out_id), _buckets(F.col(vec_col)).alias("_bks")
+    ).select(out_id, F.posexplode("_bks").alias("band", "bucket"))
 
 
 def corpus_lsh_topk(corpus, probes, plane_ids: list[int], bands: int = 3,
@@ -268,7 +331,7 @@ def corpus_lsh_topk(corpus, probes, plane_ids: list[int], bands: int = 3,
         cand.join(F.broadcast(pv), "probe_id")
         .join(cv, "neighbor_id")
         .select("probe_id", "neighbor_id",
-                cosine_expr(F.col("_pv"), F.col("_cv")).alias("cos"))
+                cosine_vec(F.col("_pv"), F.col("_cv")).alias("cos"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("probe_id", "rank", "neighbor_id")
@@ -294,18 +357,41 @@ def corpus_ivf_topk(corpus, probes, centroid_ids: list[int], nprobe: int = 3,
         centsrc.filter(F.col(id_col).isin([int(c) for c in sorted(centroid_ids)]))
         .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("_c"))
     )
-    # corpus cell = argmax cosine(v, centroid); ties → smallest cent_id
-    cd = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
-        .crossJoin(cents)
-        .select(
-            "neighbor_id", "_cv", "cent_id",
-            cosine_expr(F.col("_cv"), F.col("_c")).alias("_cc"),
-        )
-    )
-    corpus_cells = cd.groupBy("neighbor_id").agg(
-        F.max_by(F.col("cent_id"), F.struct(F.col("_cc"), -F.col("cent_id"))).alias("cell"),
-        F.first("_cv").alias("_cv"),
+    # corpus cell = argmax cosine(v, centroid); ties → smallest cent_id.
+    # r6: vectorized — centroids collected at plan build (the IVF index),
+    # cosines per Arrow batch via cumsum-sequential numpy (bit-identical
+    # to the declarative fold; see cosine_vec). Strict > with ascending
+    # cent_id order keeps the smallest id on exact ties, and NaN cosines
+    # map to +inf first-wins, matching Spark's NaN-greatest max_by. The
+    # former crossJoin+max_by form (reconstructed in
+    # tests/test_similarity.py as the parity reference) blew the corpus
+    # up 8× through an interpreted fold.
+    crows = sorted(cents.collect(), key=lambda r: r["cent_id"])
+    C = np.array([list(r["_c"]) for r in crows], dtype=np.float32).astype(np.float64)
+    cids = [int(r["cent_id"]) for r in crows]
+    cnorm = np.sqrt(np.cumsum(C * C, axis=1)[:, -1])
+
+    @F.pandas_udf("long")
+    def _cell(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype="int64")
+        V = np.stack(vs.to_numpy()).astype(np.float64)
+        vnorm = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+        best = np.full(len(vs), cids[0], dtype=np.int64)
+        bestv = np.full(len(vs), -np.inf)
+        for i in range(C.shape[0]):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos_i = np.cumsum(V * C[i][None, :], axis=1)[:, -1] / (vnorm * cnorm[i])
+            cos_i = np.where(np.isnan(cos_i), np.inf, cos_i)
+            m = cos_i > bestv
+            best[m] = cids[i]
+            bestv[m] = cos_i[m]
+        return pd.Series(best)
+
+    corpus_cells = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        _cell(F.col(vec_col)).alias("cell"),
     )
     wp = W.partitionBy("probe_id").orderBy(F.desc("_pc"), F.asc("cent_id"))
     probe_cells = (
@@ -323,7 +409,7 @@ def corpus_ivf_topk(corpus, probes, centroid_ids: list[int], nprobe: int = 3,
         .join(corpus_cells, "cell")
         .filter(F.col("probe_id") != F.col("neighbor_id"))
         .select("probe_id", "neighbor_id",
-                cosine_expr(F.col("_pv"), F.col("_cv")).alias("cos"))
+                cosine_vec(F.col("_pv"), F.col("_cv")).alias("cos"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("probe_id", "rank", "neighbor_id")

@@ -1564,26 +1564,25 @@ ORDER BY id_a, id_b
 def q38_asof_join(spark, sf_dir):
     """Point-in-time (as-of) join: each event matched to the customer's
     latest order at-or-before the event timestamp — union + per-key window,
-    ONE shuffle, no join explosion (operators/asof.py). The right side is
-    deduped to one row per (key, ts) with max_by so the as-of winner is
-    deterministic. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    ONE shuffle, no join explosion (operators/asof.py). Determinism among
+    same-(key, ts) orders comes from the operator's ``right_tiebreak``
+    (max o_orderkey wins), which folds the former max_by pre-dedup — a
+    full extra shuffle+aggregate of the orders side — into the window's
+    existing sort (r6: 2.8 s → 2.1 s at the 10× corpus). The event_id
+    column is never aggregated, so it stays out of the plan (narrower
+    exchange). Oracle: DuckDB's native ASOF LEFT JOIN."""
     from ..operators.asof import asof_join
 
-    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
-    orders = load(spark, sf_dir, "orders")
-    latest = (
-        orders.groupBy("o_custkey", "o_orderdate")
-        .agg(F.max_by(F.struct("o_orderkey", "o_totalprice"), "o_orderkey").alias("s"))
-        .select(
-            F.col("o_custkey").alias("user_id"),
-            "o_orderdate",
-            F.col("s.o_orderkey").alias("o_orderkey"),
-            F.col("s.o_totalprice").alias("o_totalprice"),
-        )
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    latest = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderdate",
+        "o_orderkey",
+        "o_totalprice",
     )
     j = asof_join(
         ev, latest, on="user_id", left_ts="ts", right_ts="o_orderdate",
-        payload_cols=["o_orderkey", "o_totalprice"],
+        payload_cols=["o_orderkey", "o_totalprice"], right_tiebreak="o_orderkey",
     )
     return (
         j.groupBy("event_type")
