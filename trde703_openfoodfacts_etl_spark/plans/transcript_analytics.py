@@ -51,12 +51,19 @@ def role_distribution(df):
 
 def conversation_stats(df):
     """analytics.sql:52-66 (stats pack per category, IN-subquery semi join)
-    → avg/min/max/stddev turn counts over conversations that used tools."""
-    with_tools = df.filter(F.col("tool").isNotNull()).select("conv_id").distinct()
+    → avg/min/max/stddev turn counts over conversations that used tools.
+
+    The IN-subquery is folded into the per-conversation aggregate: a
+    conversation "used tools" iff max(tool IS NOT NULL) — one shuffle on
+    conv_id instead of a distinct + semi-join + aggregate (r6; result
+    identical: the semi-join kept exactly the has-tool conversations)."""
     per_conv = (
-        df.join(with_tools, "conv_id", "left_semi")
-        .groupBy("conv_id")
-        .agg(F.count(F.lit(1)).alias("n_turns"))
+        df.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.max(F.col("tool").isNotNull()).alias("_has_tool"),
+        )
+        .filter(F.col("_has_tool"))
     )
     return per_conv.agg(
         F.count(F.lit(1)).alias("n_conversations"),
