@@ -28,7 +28,12 @@ def test_batch_metrics_account_for_every_event(spark, tmp_path):
         assert m["events_per_sec"] > 0
         # per-bucket event counts cover the whole batch
         assert sum(m["per_bucket_events"].values()) >= m["events_in"] * 0  # present
-        assert set(m["phase_sec"]) == {"plan", "a1_touched", "a2_skinny", "a3_write", "commit"}
+        # r6: small tables fuse the touched-bucket pre-pass into the
+        # detection job (no a1_touched phase); large tables keep it
+        assert set(m["phase_sec"]) in (
+            {"plan", "a2_skinny", "a3_write", "commit"},
+            {"plan", "a1_touched", "a2_skinny", "a3_write", "commit"},
+        )
 
     # manifest lineage: snapshot metrics equal the returned metrics
     snap = lake.snapshot()
